@@ -1,0 +1,12 @@
+from .multipretext import (  # noqa: F401
+    cross_entropy,
+    image_categorical_loss,
+    image_continuous_loss,
+    multipretext_loss,
+    patchify,
+    pixel_categorical_loss,
+    pixel_continuous_loss,
+    uncertainty_weighted,
+    unpatchify,
+    unweighted,
+)

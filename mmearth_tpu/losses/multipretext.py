@@ -1,0 +1,169 @@
+"""Multi-pretext losses for MP-MAE, as static-shape jittable functions.
+
+Reproduces the four loss families of the reference (fcmae.py:267-412) and the
+uncertainty aggregation (custom_loss.py:10-30), but with `where`-masked
+reductions instead of data-dependent boolean indexing, so everything compiles
+to fixed shapes under jit:
+
+  * image-level categorical (biome, eco_region): argmax of the one-hot target
+    + softmax cross-entropy (fcmae.py:281-289).
+  * image-level continuous (lat, lon, month, era5): MSE over non-NaN elements
+    (fcmae.py:290-301).
+  * pixel categorical (dynamic_world, esa_worldcover): patchify, restrict to
+    masked patches, ignore -1 labels, cross-entropy (fcmae.py:302-346).
+  * pixel continuous (sentinel2, sentinel1, aster, canopy_height_eth):
+    per-patch NaN-aware MSE on masked patches, optional per-patch norm on
+    sentinel2 only (fcmae.py:366-403).  The denominator counts patches with a
+    nonzero masked loss, exactly as `count_nonzero(loss * mask)` does.
+
+Empty-valid-set edge cases return 0 instead of NaN (the reference would NaN
+and `sys.exit(1)`, engine_pretrain.py:83-85).
+"""
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import modalities as M
+
+
+def patchify(imgs: jax.Array, patch_size: int) -> jax.Array:
+    """(N, H, W, C) -> (N, L, p*p*C), matching the reference's element order
+    (fcmae.py:180-197: per patch, pixels row-major then channels)."""
+    n, h, w, c = imgs.shape
+    p = patch_size
+    gh, gw = h // p, w // p
+    x = imgs.reshape(n, gh, p, gw, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (N, gh, gw, p, p, C)
+    return x.reshape(n, gh * gw, p * p * c)
+
+
+def unpatchify(x: jax.Array, patch_size: int, img_size: int, channels: int) -> jax.Array:
+    """(N, L, p*p*C) -> (N, H, W, C) (fcmae.py:199-212)."""
+    n = x.shape[0]
+    p = patch_size
+    g = img_size // p
+    x = x.reshape(n, g, g, p, p, channels)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, img_size, img_size, channels)
+
+
+def _safe_mean(values: jax.Array, valid: jax.Array) -> jax.Array:
+    """Mean of ``values`` where ``valid``; 0 when nothing is valid."""
+    num = jnp.sum(jnp.where(valid, values, 0.0))
+    den = jnp.sum(valid.astype(jnp.float32))
+    return jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Per-example softmax CE with integer labels (no reduction)."""
+    logz = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    labels_safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    return -jnp.take_along_axis(logz, labels_safe[..., None], axis=-1)[..., 0]
+
+
+def image_categorical_loss(pred: jax.Array, target_onehot: jax.Array) -> jax.Array:
+    """biome/eco_region: CE against argmax of the one-hot target."""
+    labels = jnp.argmax(target_onehot, axis=-1)
+    return jnp.mean(cross_entropy(pred, labels))
+
+
+def image_continuous_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """lat/lon/month/era5: NaN-filtered MSE."""
+    target = target.astype(jnp.float32)
+    valid = ~jnp.isnan(target)
+    sq = jnp.square(pred.astype(jnp.float32) - jnp.where(valid, target, 0.0))
+    return _safe_mean(sq, valid)
+
+
+def pixel_categorical_loss(
+    pred: jax.Array, target: jax.Array, mask: jax.Array, patch_size: int, num_classes: int
+) -> jax.Array:
+    """dynamic_world/esa_worldcover.
+
+    pred: (N, L, p*p*num_classes); target: (N, H, W, 1) int labels with -1 for
+    no-data; mask: (N, L) with 1 = removed.
+    """
+    n, l, _ = pred.shape
+    pp = patch_size * patch_size
+    logits = pred.reshape(n, l, pp, num_classes)
+    labels = patchify(target.astype(jnp.int32), patch_size).reshape(n, l, pp)
+    ce = cross_entropy(logits, labels)
+    valid = (mask[:, :, None] == 1) & (labels != -1)
+    return _safe_mean(ce, valid)
+
+
+def pixel_continuous_loss(
+    pred: jax.Array,
+    target: jax.Array,
+    mask: jax.Array,
+    patch_size: int,
+    norm_pix: bool = False,
+) -> jax.Array:
+    """sentinel2/sentinel1/aster/canopy_height_eth.
+
+    pred: (N, L, p*p*C); target: (N, H, W, C) float (NaNs already zeroed on the
+    input path, fcmae.py:445-449, but we stay NaN-robust); mask: (N, L).
+    """
+    tgt = patchify(target.astype(jnp.float32), patch_size)
+    if norm_pix:
+        mean = jnp.mean(tgt, axis=-1, keepdims=True)
+        var = jnp.var(tgt, axis=-1, keepdims=True)
+        tgt = (tgt - mean) / jnp.sqrt(var + 1e-6)
+    sq = jnp.square(pred.astype(jnp.float32) - tgt)
+    valid = ~jnp.isnan(sq)
+    count = jnp.sum(valid, axis=-1)
+    per_patch = jnp.sum(jnp.where(valid, sq, 0.0), axis=-1) / jnp.maximum(count, 1)
+    per_patch = jnp.where(count > 0, per_patch, jnp.nan)  # parity: 0-count patches are NaN
+
+    tmp = per_patch * mask
+    tmp = jnp.where(jnp.isnan(tmp), 0.0, tmp)
+    denom = jnp.sum((tmp != 0.0).astype(jnp.float32))
+    return jnp.where(denom > 0, jnp.sum(tmp) / jnp.maximum(denom, 1.0), 0.0)
+
+
+def multipretext_loss(
+    preds: Mapping[str, jax.Array],
+    targets: Mapping[str, jax.Array],
+    mask: jax.Array,
+    *,
+    patch_size: int,
+    out_chans: Mapping[str, int],
+    norm_pix_loss: bool = False,
+    loss_full: bool = False,
+) -> dict[str, jax.Array]:
+    """Per-modality losses, keyed like the reference's ``loss_dict``."""
+    if loss_full:
+        mask = jnp.ones_like(mask)
+    loss_dict = {}
+    for name, pred in preds.items():
+        if name in ("biome", "eco_region"):
+            loss_dict[name] = image_categorical_loss(pred, targets[name])
+        elif name in M.IMAGE_LEVEL_MODALITIES:
+            loss_dict[name] = image_continuous_loss(pred, targets[name])
+        elif name in M.CATEGORICAL_PIXEL_MODALITIES:
+            loss_dict[name] = pixel_categorical_loss(
+                pred, targets[name], mask, patch_size, out_chans[name]
+            )
+        else:
+            loss_dict[name] = pixel_continuous_loss(
+                pred, targets[name], mask, patch_size,
+                norm_pix=(norm_pix_loss and name == "sentinel2"),
+            )
+    return loss_dict
+
+
+def uncertainty_weighted(loss_dict: Mapping[str, jax.Array], log_vars: jax.Array):
+    """Uncertainty aggregation (custom_loss.py:19-30): exp(-s)*L + s per task,
+    zeroed where the raw loss is 0 (dropped task)."""
+    losses = jnp.stack(list(loss_dict.values()))
+    weighted = jnp.exp(-log_vars) * losses + log_vars
+    weighted = weighted * (losses != 0.0)
+    return jnp.sum(weighted), weighted
+
+
+def unweighted(loss_dict: Mapping[str, jax.Array]):
+    losses = jnp.stack(list(loss_dict.values()))
+    return jnp.sum(losses), losses

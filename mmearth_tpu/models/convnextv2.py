@@ -1,0 +1,281 @@
+"""NHWC ConvNeXtV2 for TPU, with a sparse-encoder-equivalent masked path.
+
+Architecture parity (reference file:line):
+  * Block: dwconv7x7 -> LN -> pw Linear 4x -> GELU -> GRN -> pw Linear ->
+    droppath residual (models/convnextv2.py:18-55, convnextv2_sparse.py:26-56).
+  * Backbone: ``initial_conv`` (3x3 s1 + LN + GELU) then depthwise ``stem``
+    with stride patch_size/8 (models/convnextv2.py:108-124), or the original
+    4x4-style stem (``use_orig_stem``, :97-106); three LN + 2x2 s2 downsample
+    layers (:126-131); four stages (:133-146); GAP + LN + Linear head
+    (:148-153, 160-174).
+  * Masked pretraining path: reproduces the *MinkowskiEngine sparse encoder*
+    (models/convnextv2_sparse.py:191-220) exactly with dense ops: the patch
+    mask is re-applied after every spatial op and GRN statistics run over
+    unmasked sites only (SparK-style, "Designing BERT for Convolutional
+    Networks").  Because the mask is patch-aligned and every conv window fits
+    inside one mask cell (stride-2 downsamples, stem stride = patch/8), the
+    dense-masked computation equals the sparse gather/scatter computation
+    site-for-site.  ``sparse=False`` instead reproduces the reference's leaky
+    dense path (mask applied to the input only, convnextv2.py:185-203) for
+    parity testing.
+
+Padding: unlike the reference dense path (no padding on ``initial_conv``,
+convnextv2.py:109, which breaks the 56px/patch-8 geometry), we use SAME zero
+padding — this matches the Minkowski stride-1 convolution, which preserves the
+coordinate set (zero contributions from absent neighbors), and keeps the mask
+grid aligned for both 56-8 and 112-16 geometries.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .norm import GRN, LayerNorm, MaskedGRN
+
+Dtype = Any
+
+# torch/timm trunc_normal_(std=.02) truncates at +-2 absolute (~100 sigma), so
+# it is an ordinary normal; trunc_normal_(std=1) truncates meaningfully at
+# +-2 sigma, matching jax's truncated_normal.
+init_normal02 = nn.initializers.normal(stddev=0.02)
+init_trunc1 = nn.initializers.truncated_normal(stddev=1.0)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def upsample_mask(mask: jax.Array, grid: int, size: int) -> jax.Array:
+    """(N, L) patch mask -> (N, size, size, 1); nearest upsample by repeat
+    (reference fcmae.py:233-240)."""
+    n = mask.shape[0]
+    scale = size // grid
+    m = mask.reshape(n, grid, 1, grid, 1, 1)
+    m = jnp.broadcast_to(m, (n, grid, scale, grid, scale, 1))
+    return m.reshape(n, size, size, 1)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape=shape)
+        return x * mask.astype(x.dtype) / keep
+
+
+class Block(nn.Module):
+    """ConvNeXtV2 block.  When ``keep`` (N,H,W,1; 1 = visible) is given and
+    ``sparse`` is set, reproduces the Minkowski sparse block: the input is
+    assumed pre-masked, GRN statistics exclude masked sites, and the residual
+    branch is re-masked once before the add."""
+
+    dim: int
+    drop_path: float = 0.0
+    sparse: bool = False
+    dtype: Dtype = jnp.float32
+    # Optional init overrides; defaults follow the reference's per-mode rules
+    # (fcmae.py:157-178: Minkowski dwconv/linear get trunc_normal std 1, dense
+    # nn.Conv2d std .02 in the classifier, std 1 inside FCMAE).
+    dw_init: Optional[Any] = None
+    pw_init: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, keep=None, deterministic: bool = True):
+        inp = x
+        dw_init = self.dw_init or (init_trunc1 if self.sparse else init_normal02)
+        pw_init = self.pw_init or (init_trunc1 if self.sparse else init_normal02)
+        x = nn.Conv(
+            self.dim, (7, 7), padding="SAME", feature_group_count=self.dim,
+            kernel_init=dw_init, dtype=self.dtype, name="dwconv",
+        )(x)
+        x = LayerNorm(self.dim, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(4 * self.dim, kernel_init=pw_init, dtype=self.dtype, name="pwconv1")(x)
+        x = gelu(x)
+        if keep is not None and self.sparse:
+            x = MaskedGRN(4 * self.dim, dtype=self.dtype, name="grn")(x, keep)
+        else:
+            x = GRN(4 * self.dim, dtype=self.dtype, name="grn")(x)
+        x = nn.Dense(self.dim, kernel_init=pw_init, dtype=self.dtype, name="pwconv2")(x)
+        if keep is not None and self.sparse:
+            x = x * keep.astype(x.dtype)
+        x = DropPath(self.drop_path, name="drop_path")(x, deterministic)
+        return inp + x
+
+
+class ConvNeXtV2(nn.Module):
+    """ConvNeXtV2 backbone + classifier with a masked-encoding path."""
+
+    patch_size: int = 8
+    img_size: int = 56
+    in_chans: int = 12
+    num_classes: int = 1000
+    depths: Sequence[int] = (3, 3, 9, 3)
+    dims: Sequence[int] = (96, 192, 384, 768)
+    drop_path_rate: float = 0.0
+    head_init_scale: float = 1.0
+    use_orig_stem: bool = False
+    sparse: bool = False
+    dtype: Dtype = jnp.float32
+
+    @property
+    def stem_stride(self) -> int:
+        return self.patch_size // (2 ** (len(self.depths) - 1))
+
+    def setup(self):
+        conv_init = init_normal02  # Minkowski std-.02 convs and dense convs alike
+        if self.use_orig_stem:
+            self.stem_orig_conv = nn.Conv(
+                self.dims[0], (self.stem_stride, self.stem_stride),
+                strides=(self.stem_stride, self.stem_stride), padding="VALID",
+                kernel_init=conv_init, dtype=self.dtype,
+            )
+            self.stem_orig_norm = LayerNorm(self.dims[0], dtype=self.dtype)
+        else:
+            self.initial_conv_conv = nn.Conv(
+                self.dims[0], (3, 3), padding="SAME", kernel_init=conv_init, dtype=self.dtype,
+            )
+            self.initial_conv_norm = LayerNorm(self.dims[0], dtype=self.dtype)
+            s = self.stem_stride
+            self.stem_conv = nn.Conv(
+                self.dims[0], (s, s), strides=(s, s), padding="VALID",
+                feature_group_count=self.dims[0],
+                kernel_init=init_trunc1 if self.sparse else init_normal02,
+                dtype=self.dtype,
+            )
+            self.stem_norm = LayerNorm(self.dims[0], dtype=self.dtype)
+
+        self.downsample_norms = [LayerNorm(self.dims[i], dtype=self.dtype) for i in range(3)]
+        self.downsample_convs = [
+            nn.Conv(self.dims[i + 1], (2, 2), strides=(2, 2), padding="VALID",
+                    kernel_init=conv_init, dtype=self.dtype)
+            for i in range(3)
+        ]
+
+        dp_rates = [
+            float(r) for r in np.linspace(0.0, self.drop_path_rate, sum(self.depths))
+        ]
+        stages = []
+        cur = 0
+        for i, depth in enumerate(self.depths):
+            stages.append([
+                Block(self.dims[i], drop_path=dp_rates[cur + j], sparse=self.sparse, dtype=self.dtype)
+                for j in range(depth)
+            ])
+            cur += depth
+        self.stages = stages
+
+        self.norm = LayerNorm(self.dims[-1], dtype=self.dtype)
+        self.head = nn.Dense(
+            self.num_classes,
+            kernel_init=lambda key, shape, dtype: init_normal02(key, shape, dtype) * self.head_init_scale,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )
+
+    # ------------------------------------------------------------------
+    # shared pieces
+    # ------------------------------------------------------------------
+    def _stem(self, x, keep_pixel=None, keep_stem=None):
+        """initial_conv + stem (or orig stem).  ``keep_*`` are (N,H,W,1)
+        visibility masks at the input / post-stem resolutions."""
+        masked = keep_pixel is not None and self.sparse
+        if self.use_orig_stem:
+            x = self.stem_orig_conv(x)
+            x = self.stem_orig_norm(x)
+            if masked:
+                x = x * keep_stem.astype(x.dtype)
+            return x
+        x = self.initial_conv_conv(x)
+        x = self.initial_conv_norm(x)
+        if masked:
+            x = x * keep_pixel.astype(x.dtype)
+        x = gelu(x)
+        x = self.stem_conv(x)
+        x = self.stem_norm(x)
+        if masked:
+            x = x * keep_stem.astype(x.dtype)
+        return x
+
+    def _stages(self, x, keeps=None, deterministic=True, save_features=False):
+        feats = []
+        keep = keeps[0] if keeps is not None else None
+        for blk in self.stages[0]:
+            x = blk(x, keep, deterministic)
+        for i in range(3):
+            if save_features and i < 2:
+                feats.append(x)
+            x = self.downsample_norms[i](x)
+            x = self.downsample_convs[i](x)
+            keep = keeps[i + 1] if keeps is not None else None
+            if keep is not None and self.sparse:
+                x = x * keep.astype(x.dtype)
+            for blk in self.stages[i + 1]:
+                x = blk(x, keep, deterministic)
+        if save_features:
+            return x, feats
+        return x
+
+    # ------------------------------------------------------------------
+    # public paths
+    # ------------------------------------------------------------------
+    def encode(self, x, mask, deterministic: bool = True):
+        """Masked encoding for pretraining.  ``mask``: (N, L), 1 = removed
+        (reference convention).  Returns the stage-4 feature map with masked
+        sites zeroed (the ``.dense()`` of the sparse output,
+        convnextv2_sparse.py:218)."""
+        grid = self.img_size // self.patch_size
+        keep_flat = 1.0 - mask.astype(jnp.float32)
+        keep_pixel = upsample_mask(keep_flat, grid, self.img_size)
+        x = x * keep_pixel.astype(x.dtype)
+
+        if not self.sparse:
+            # reference leaky dense path: mask input only (convnextv2.py:185-203)
+            x = self._stem(x)
+            return self._stages(x, None, deterministic)
+
+        sizes = [self.img_size // self.stem_stride // (2 ** i) for i in range(4)]
+        keeps = [upsample_mask(keep_flat, grid, s) for s in sizes]
+        x = self._stem(x, keep_pixel, keeps[0])
+        return self._stages(x, keeps, deterministic)
+
+    def forward_features(self, x, deterministic: bool = True):
+        x = self._stem(x)
+        x = self._stages(x, None, deterministic)
+        return self.norm(jnp.mean(x, axis=(1, 2)))  # GAP then LN (convnextv2.py:172-174)
+
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        if mask is not None:
+            return self.encode(x, mask, deterministic)
+        x = self.forward_features(x, deterministic)
+        return self.head(x)
+
+
+def _factory(depths, dims):
+    def build(**kwargs):
+        kwargs.setdefault("depths", depths)
+        kwargs.setdefault("dims", dims)
+        return ConvNeXtV2(**kwargs)
+
+    return build
+
+
+convnextv2_atto = _factory((2, 2, 6, 2), (40, 80, 160, 320))
+convnextv2_femto = _factory((2, 2, 6, 2), (48, 96, 192, 384))
+convnextv2_pico = _factory((2, 2, 6, 2), (64, 128, 256, 512))
+convnextv2_nano = _factory((2, 2, 8, 2), (80, 160, 320, 640))
+convnextv2_tiny = _factory((3, 3, 9, 3), (96, 192, 384, 768))
+convnextv2_base = _factory((3, 3, 27, 3), (128, 256, 512, 1024))
+convnextv2_large = _factory((3, 3, 27, 3), (192, 384, 768, 1536))
+convnextv2_huge = _factory((3, 3, 27, 3), (352, 704, 1408, 2816))

@@ -1,0 +1,80 @@
+"""Normalization layers for NHWC ConvNeXtV2.
+
+Numerics match the reference exactly:
+  * ``LayerNorm`` — torch ``F.layer_norm`` over the channel axis, eps 1e-6
+    (reference models/norm_layers.py:7-31; the channels_first branch there is
+    the same math on NCHW — we are NHWC-only so one variant suffices).
+  * ``GRN`` — dense Global Response Normalization: per-sample L2 over the
+    spatial axes, eps 1e-4 (reference models/norm_layers.py:33-44).
+  * ``MaskedGRN`` — the MinkowskiGRN semantics: the L2 statistic runs over
+    *all active (unmasked) sites in the batch* with eps 1e-6 (reference
+    models/sparse_norm_layers.py:16-33, norm over dim=0 of the sparse feature
+    matrix).  This is the sparse-encoder-equivalent used during pretraining.
+
+All statistics are computed in float32 regardless of the compute dtype.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the trailing (channel) axis, biased variance, eps 1e-6."""
+
+    dim: int
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) / jnp.sqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+class GRN(nn.Module):
+    """Dense GRN: per-sample spatial L2 statistic (NHWC), eps 1e-4."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.zeros, (self.dim,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        gx = jnp.sqrt(jnp.sum(jnp.square(xf), axis=(1, 2), keepdims=True))  # (N,1,1,C)
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-4)
+        y = gamma * (xf * nx) + beta + xf
+        return y.astype(self.dtype)
+
+
+class MaskedGRN(nn.Module):
+    """Sparse-equivalent GRN: batch-global L2 over unmasked sites, eps 1e-6.
+
+    ``keep`` is an (N,H,W,1) float mask with 1 at visible (active) sites.  The
+    statistic Gx[c] = ||x[:, :, :, c] restricted to active sites||_2 matches
+    MinkowskiGRN's ``torch.norm(x.F, p=2, dim=0)`` where x.F stacks the active
+    sites of the whole batch.  Output values at masked sites are *not* zeroed
+    here; the caller re-masks once at the end of each block.
+    """
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, keep):
+        gamma = self.param("gamma", nn.initializers.zeros, (self.dim,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        masked = xf * keep.astype(jnp.float32)
+        gx = jnp.sqrt(jnp.sum(jnp.square(masked), axis=(0, 1, 2), keepdims=True))  # (1,1,1,C)
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        y = gamma * (xf * nx) + beta + xf
+        return y.astype(self.dtype)

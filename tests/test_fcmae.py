@@ -1,0 +1,97 @@
+"""FCMAE end-to-end model behavior: mask generation, aligned crop, forward
+shapes and loss structure."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmearth_tpu.configs import modalities as M
+from mmearth_tpu.models import fcmae
+
+
+def _tiny_batch(n=2, tile=64, img=56):
+    rng = np.random.default_rng(0)
+    d = {
+        "sentinel2": rng.normal(size=(n, tile, tile, 12)).astype(np.float32),
+        "sentinel1": rng.normal(size=(n, tile, tile, 8)).astype(np.float32),
+        "aster": rng.normal(size=(n, tile, tile, 2)).astype(np.float32),
+        "canopy_height_eth": rng.normal(size=(n, tile, tile, 2)).astype(np.float32),
+        "dynamic_world": rng.integers(-1, 9, size=(n, tile, tile, 1)).astype(np.int64),
+        "esa_worldcover": rng.integers(-1, 11, size=(n, tile, tile, 1)).astype(np.int64),
+        "era5": rng.normal(size=(n, 12)).astype(np.float32),
+        "lat": rng.normal(size=(n, 2)).astype(np.float32),
+        "lon": rng.normal(size=(n, 2)).astype(np.float32),
+        "month": rng.normal(size=(n, 2)).astype(np.float32),
+        "biome": np.eye(14, dtype=np.int64)[rng.integers(0, 14, n)],
+        "eco_region": np.eye(846, dtype=np.int64)[rng.integers(0, 846, n)],
+    }
+    return {k: jnp.array(v) for k, v in d.items()}
+
+
+def test_gen_random_mask_counts():
+    mask = fcmae.gen_random_mask(jax.random.PRNGKey(0), 8, 49, 0.6)
+    assert mask.shape == (8, 49)
+    kept = np.sum(np.asarray(mask) == 0, axis=1)
+    assert np.all(kept == int(49 * 0.4))  # exactly len_keep per sample (fcmae.py:217)
+
+
+def test_aligned_random_crop_shared_offsets():
+    batch = _tiny_batch(tile=64)
+    out = fcmae.aligned_random_crop(jax.random.PRNGKey(1), batch, 56)
+    assert out["sentinel2"].shape == (2, 56, 56, 12)
+    assert out["dynamic_world"].shape == (2, 56, 56, 1)
+    assert out["era5"].shape == (2, 12)  # image-level untouched
+
+    # offsets shared across modalities: crop a sentinel1 channel stuffed with
+    # the same pattern as sentinel2 channel 0 and compare
+    b2 = dict(batch)
+    b2["sentinel1"] = jnp.tile(batch["sentinel2"][..., :1], (1, 1, 1, 8))
+    o2 = fcmae.aligned_random_crop(jax.random.PRNGKey(1), b2, 56)
+    np.testing.assert_allclose(
+        np.asarray(o2["sentinel1"][..., 0]), np.asarray(o2["sentinel2"][..., 0])
+    )
+
+    # dtype preserved for label maps
+    assert out["dynamic_world"].dtype == jnp.int64 or str(out["dynamic_world"].dtype) == "int32"
+
+
+def test_fcmae_forward_and_loss():
+    model = fcmae.convnextv2_atto(
+        img_size=56, patch_size=8, sparse=True, loss_aggr="uncertainty",
+        inp_modalities=M.INP_MODALITIES, out_modalities=M.OUT_MODALITIES,
+    )
+    batch = fcmae.aligned_random_crop(jax.random.PRNGKey(2), _tiny_batch(), 56)
+    batch = fcmae.zero_nan_inputs(batch)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}, batch
+    )
+    loss, preds, mask, loss_dict, log_vars, weighted = model.apply(
+        variables, batch, rngs={"mask": jax.random.PRNGKey(3)}
+    )
+    assert np.isfinite(float(loss))
+    assert set(loss_dict) == set(M.OUT_MODALITIES)
+    assert mask.shape == (2, 49)
+    assert preds["sentinel2"].shape == (2, 49, 8 * 8 * 12)
+    assert preds["dynamic_world"].shape == (2, 49, 8 * 8 * 9)
+    assert preds["biome"].shape == (2, 14)
+    assert preds["eco_region"].shape == (2, 846)
+    assert log_vars.shape == (12,)
+    # every per-modality loss is finite and non-negative
+    for k, v in loss_dict.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_fcmae_decoder_shared_params():
+    """The decoder stack must be shared across modalities (fcmae.py:119-137
+    registers the same Block instances under every modality)."""
+    model = fcmae.convnextv2_atto(
+        img_size=56, patch_size=8, sparse=True,
+        inp_modalities=M.INP_MODALITIES, out_modalities=M.OUT_MODALITIES,
+    )
+    batch = fcmae.zero_nan_inputs(
+        fcmae.aligned_random_crop(jax.random.PRNGKey(2), _tiny_batch(), 56)
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}, batch
+    )
+    decoder_keys = [k for k in variables["params"] if k.startswith("decoder")]
+    assert len(decoder_keys) == 1  # one shared stack, not one per modality

@@ -1,0 +1,115 @@
+"""Loss-family parity against torch golden implementations that mirror the
+reference's forward_loss math (fcmae.py:267-412, custom_loss.py:10-30)."""
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from mmearth_tpu.losses import multipretext as mp
+
+
+def test_patchify_roundtrip_matches_torch_order():
+    rng = np.random.default_rng(0)
+    n, hw, c, p = 2, 16, 3, 4
+    x = rng.normal(size=(n, hw, hw, c)).astype(np.float32)
+    ours = np.asarray(mp.patchify(jnp.array(x), p))
+
+    # reference patchify on NCHW (fcmae.py:180-197)
+    t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    h = w = hw // p
+    tx = t.reshape(n, c, h, p, w, p)
+    tx = torch.einsum("nchpwq->nhwpqc", tx).reshape(n, h * w, p * p * c)
+    np.testing.assert_allclose(ours, tx.numpy(), atol=0)
+
+    back = np.asarray(mp.unpatchify(jnp.array(ours), p, hw, c))
+    np.testing.assert_allclose(back, x, atol=0)
+
+
+def test_image_categorical_matches_torch():
+    rng = np.random.default_rng(1)
+    onehot = np.eye(14, dtype=np.int64)[rng.integers(0, 14, size=5)]
+    pred = rng.normal(size=(5, 14)).astype(np.float32)
+    ours = float(mp.image_categorical_loss(jnp.array(pred), jnp.array(onehot)))
+    golden = torch.nn.CrossEntropyLoss()(
+        torch.from_numpy(pred), torch.from_numpy(onehot).argmax(-1)
+    ).item()
+    assert abs(ours - golden) < 5e-5
+
+
+def test_image_continuous_matches_torch():
+    rng = np.random.default_rng(2)
+    target = rng.normal(size=(5, 12)).astype(np.float32)
+    target[rng.random(target.shape) < 0.3] = np.nan
+    pred = rng.normal(size=(5, 12)).astype(np.float32)
+    ours = float(mp.image_continuous_loss(jnp.array(pred), jnp.array(target)))
+    t, p = torch.from_numpy(target), torch.from_numpy(pred)
+    nan = torch.isnan(t)
+    golden = torch.nn.MSELoss()(p[~nan], t[~nan]).item()
+    assert abs(ours - golden) < 5e-5
+
+
+def test_pixel_categorical_matches_torch():
+    rng = np.random.default_rng(3)
+    n, g, p, C = 2, 4, 4, 9
+    L = g * g
+    img = rng.integers(-1, C, size=(n, g * p, g * p, 1)).astype(np.int64)
+    pred = rng.normal(size=(n, L, p * p * C)).astype(np.float32)
+    mask = (rng.random((n, L)) < 0.6).astype(np.float32)
+
+    ours = float(
+        mp.pixel_categorical_loss(jnp.array(pred), jnp.array(img), jnp.array(mask), p, C)
+    )
+
+    # golden: reference fcmae.py:302-346
+    tpred = torch.from_numpy(pred).reshape(n, L, p * p, C)
+    t = torch.from_numpy(img.transpose(0, 3, 1, 2)).float()
+    tt = t.reshape(n, 1, g, p, g, p)
+    tt = torch.einsum("nchpwq->nhwpqc", tt).reshape(n, L, p * p)
+    tmask = torch.from_numpy(mask)[:, :, None].repeat(1, 1, p * p).reshape(n, -1)
+    target = tt.reshape(n, -1)
+    tpred = tpred.reshape(n, -1, C)
+    sel_t = target[tmask == 1].long()
+    sel_p = tpred[tmask == 1]
+    keepv = sel_t != -1
+    golden = torch.nn.CrossEntropyLoss()(sel_p[keepv], sel_t[keepv]).item()
+    assert abs(ours - golden) < 5e-5
+
+
+def test_pixel_continuous_matches_torch():
+    rng = np.random.default_rng(4)
+    n, g, p, C = 2, 4, 4, 12
+    L = g * g
+    img = rng.normal(size=(n, g * p, g * p, C)).astype(np.float32)
+    pred = rng.normal(size=(n, L, p * p * C)).astype(np.float32)
+    mask = (rng.random((n, L)) < 0.6).astype(np.float32)
+
+    ours = float(mp.pixel_continuous_loss(jnp.array(pred), jnp.array(img), jnp.array(mask), p))
+
+    # golden: reference fcmae.py:366-403 (inputs already NaN-zeroed upstream)
+    t = torch.from_numpy(img.transpose(0, 3, 1, 2))
+    tt = t.reshape(n, C, g, p, g, p)
+    tt = torch.einsum("nchpwq->nhwpqc", tt).reshape(n, L, p * p * C)
+    loss = (torch.from_numpy(pred) - tt) ** 2
+    nanm = torch.isnan(loss)
+    count = torch.count_nonzero(~nanm, dim=-1)
+    loss[nanm] = 0
+    loss = loss.sum(dim=-1) / count
+    tmask = torch.from_numpy(mask)
+    tmp = loss * tmask
+    tmp[torch.isnan(tmp)] = 0
+    golden = (tmp.sum() / torch.count_nonzero(tmp)).item()
+    assert abs(ours - golden) < 5e-5
+
+
+def test_uncertainty_aggregation_matches_torch():
+    rng = np.random.default_rng(5)
+    losses = {f"m{i}": jnp.array(v) for i, v in enumerate(rng.random(6).astype(np.float32))}
+    losses["m2"] = jnp.array(0.0)  # dropped task
+    log_vars = rng.normal(size=(6,)).astype(np.float32)
+    total, weighted = mp.uncertainty_weighted(losses, jnp.array(log_vars))
+
+    lt = torch.tensor([float(v) for v in losses.values()])
+    lv = torch.from_numpy(log_vars)
+    wt = torch.exp(-lv) * lt + lv
+    wt = wt * (lt != 0.0)
+    assert abs(float(total) - wt.sum().item()) < 1e-5
+    np.testing.assert_allclose(np.asarray(weighted), wt.numpy(), rtol=1e-4, atol=1e-5)
