@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Headline benchmark: MP-MAE atto pretraining throughput, samples/sec/chip.
+
+Runs the full jitted training step (crop + masked encoder + shared decoder +
+12-modality loss + AdamW update) on the MMEarth64 flagship config
+(atto, 56 px / patch 8, S2 12-band in -> 12 modalities out, uncertainty loss,
+bf16 compute) with synthetic device-resident data, on however many chips are
+attached; reports per-chip throughput.
+
+``vs_baseline`` is measured against REFERENCE_GPU_SAMPLES_PER_SEC, an anchor
+for the reference implementation's single-GPU training throughput (TITAN RTX,
+sparse MinkowskiEngine encoder, per TRAINING.md / slurm_pretrain.sh).  The
+reference repo publishes no throughput number (BASELINE.md), so this anchor is
+an estimate: ~0.55 TFLOP-effective at ~2.3 GFLOP/sample forward+backward with
+sparse-op overheads ≈ 240 samples/sec.  The north-star target is >=3x this per
+v5e chip (BASELINE.json).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_GPU_SAMPLES_PER_SEC = 240.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship, _synthetic_batch
+    from mmearth_tpu.parallel import mesh as mesh_lib
+    from mmearth_tpu.train import optim as optim_lib
+    from mmearth_tpu.train.schedule import warmup_cosine
+    from mmearth_tpu.train.step import TrainState, init_fcmae, make_pretrain_step
+
+    n_chips = jax.device_count()
+    per_chip_batch = 256
+    batch = per_chip_batch * n_chips
+
+    mesh = mesh_lib.create_mesh(data=n_chips, model=1)
+    model = _flagship(dtype=jnp.bfloat16)
+
+    batch_np = _synthetic_batch(batch, 64)
+    params = init_fcmae(model, 0, {k: jnp.asarray(v[:2]) for k, v in batch_np.items()})
+    params = mesh_lib.shard_params(params, mesh)
+    schedule = warmup_cosine(1.5e-4 * batch / 256, 0.0, 200, 40, 1000)
+    tx = optim_lib.make_pretrain_optimizer(params, schedule)
+    state = TrainState.create(params, tx)
+
+    step = make_pretrain_step(model, random_crop=True)
+    data = mesh_lib.shard_batch(batch_np, mesh)
+    rng = jax.random.PRNGKey(0)
+
+    # K steps chained inside one jit call: measures steady-state step compute
+    # with dispatch overhead amortized (as in pipelined training), and forces
+    # true completion by fetching the summed scalar loss to host.
+    K = 10
+
+    @jax.jit
+    def multi_step(state, data, rng):
+        def body(carry, i):
+            st, acc = carry
+            st, metrics = step(st, data, jax.random.fold_in(rng, i))
+            return (st, acc + metrics["loss"]), None
+
+        (state, total), _ = jax.lax.scan(body, (state, jnp.float32(0)), jnp.arange(K))
+        return state, total
+
+    # warmup / compile
+    state, total = multi_step(state, data, rng)
+    float(total)
+
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, total = multi_step(state, data, jax.random.fold_in(rng, i))
+    float(total)
+    dt = (time.perf_counter() - t0) / (iters * K)
+
+    sps_per_chip = batch / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "mpmae_atto_mmearth64_pretrain_samples_per_sec_per_chip",
+                "value": round(sps_per_chip, 1),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(sps_per_chip / REFERENCE_GPU_SAMPLES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""MMEarth HDF5 dataset reader.
+
+Reproduces the reference ``MMEarthDataset.__getitem__`` transforms exactly
+(mmearth_dataset.py:58-153):
+
+  * band selection against the full band lists (:71-77),
+  * dynamic_world label remap 1..9 -> 0..8, no-data/>8 -> NaN (:88-97),
+  * esa_worldcover remap 10,20,...,100 -> 0..10, no-data/>10 -> NaN (:99-107),
+  * NO_DATA -> NaN for everything else (:109-114),
+  * per-band z-normalization with the l1c/l2a sentinel2 stats chosen per tile
+    (:116-135),
+  * categorical modalities -> int (NaN -> -1), continuous -> float32
+    (:137-143).
+
+This reader is the *offline* path: training reads the packed format produced
+by :mod:`mmearth_tpu.data.pack` (the FFCV-beton equivalent).
+
+Output layout is HWC (TPU-native) rather than the reference's CHW.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Mapping, Sequence
+
+import numpy as np
+
+from ..configs import modalities as M
+
+
+def find_data_files(data_root: Path) -> dict[str, Path]:
+    """Locate the four dataset files by glob (mmearth_dataset.py:163-177)."""
+    data_root = Path(data_root)
+
+    def one(pattern):
+        matches = list(data_root.glob(pattern))
+        assert len(matches) == 1, f"expected exactly one {pattern} at {data_root}, got {matches}"
+        return matches[0]
+
+    return {
+        "data": one("data_*.h5"),
+        "splits": one("data_*_splits.json"),
+        "tile_info": one("data_*_tile_info.json"),
+        "band_stats": one("data_*_band_stats.json"),
+    }
+
+
+class MMEarthDataset:
+    """Map-style reader over the MMEarth HDF5 (lazy per-worker file open,
+    mmearth_dataset.py:52-62)."""
+
+    def __init__(
+        self,
+        data_root: Path | str,
+        modalities: Mapping[str, Sequence[str] | str],
+        split: str = "train",
+        channels_last: bool = True,
+    ):
+        files = find_data_files(Path(data_root))
+        self.data_path = files["data"]
+        with open(files["splits"]) as f:
+            self.indices = json.load(f)[split]
+        with open(files["tile_info"]) as f:
+            self.tile_info = json.load(f)
+        with open(files["band_stats"]) as f:
+            self.band_stats = json.load(f)
+        self.modalities = dict(modalities)
+        self.band_idx = M.band_indices(self.modalities)
+        self.channels_last = channels_last
+        self._h5 = None
+
+    def __len__(self):
+        return len(self.indices)
+
+    def _file(self):
+        if self._h5 is None:
+            import h5py
+
+            self._h5 = h5py.File(self.data_path, "r")
+        return self._h5
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        f = self._file()
+        row = self.indices[idx]
+        name = f["metadata"][row][0].decode("utf-8")
+        l2a = self.tile_info[name]["S2_type"] == "l2a"
+
+        out: dict[str, np.ndarray] = {}
+        for modality in self.modalities:
+            sel = self.band_idx[modality]
+            if modality in ("biome", "eco_region"):
+                data = np.array(f[modality][row, ...], dtype=np.float64)
+            else:
+                data = np.array(f[modality][row, sel, ...], dtype=np.float64)
+
+            no_data = M.NO_DATA_VAL[modality]
+            if modality == "dynamic_world":
+                data = np.where(data == no_data, np.nan, data)
+                data = np.where((data >= 1) & (data <= 9), data - 1.0, data)  # 1..9 -> 0..8
+                data = np.where(data > 8, np.nan, data)
+            elif modality == "esa_worldcover":
+                data = np.where(data == no_data, np.nan, data)
+                # 10,20,...,90 -> 0..8; 95 -> 9; 100 -> 10
+                remapped = np.where(data == 95, 9.0, np.where(data == 100, 10.0, data / 10.0 - 1.0))
+                data = np.where(np.isin(data, [10, 20, 30, 40, 50, 60, 70, 80, 90, 95, 100]), remapped, data)
+                data = np.where(data > 10, np.nan, data)
+            else:
+                data = np.where(data == no_data, np.nan, data)
+
+            stats_key = ("sentinel2_l2a" if l2a else "sentinel2_l1c") if modality == "sentinel2" else modality
+            if modality not in ("biome", "eco_region", "dynamic_world", "esa_worldcover"):
+                means = np.array(self.band_stats[stats_key]["mean"])[sel]
+                stds = np.array(self.band_stats[stats_key]["std"])[sel]
+                if modality in ("era5", "lat", "lon", "month"):
+                    data = (data - means) / stds
+                else:
+                    data = (data - means[:, None, None]) / stds[:, None, None]
+
+            if M.MODALITY_TASK[modality] in ("classification", "segmentation"):
+                data = np.where(np.isnan(data), -1, data).astype(np.int64)
+            else:
+                data = data.astype(np.float32)
+
+            if self.channels_last and data.ndim == 3:
+                data = np.ascontiguousarray(data.transpose(1, 2, 0))
+            out[modality] = data
+
+        out["id"] = name
+        return out

@@ -1,0 +1,191 @@
+"""Optimizer construction with optax.
+
+Replaces the reference's param-group machinery:
+  * pretrain: AdamW betas (0.9, 0.95), weight decay on >1-dim params only —
+    timm's param_groups_weight_decay (main_pretrain.py:312-320).  Note the
+    torch GRN affines and the mask token are 4-dim there and therefore DO get
+    weight decay; ours are stored flat, so the mask marks them explicitly.
+  * finetune: layer-wise LR decay (optim_factory.py:31-96,
+    main_finetune.py:530-544): per-block ids from depths ("single") or the
+    12-group ConvNeXt scheme ("group"); no-decay set additionally excludes
+    GRN gamma/beta (optim_factory.py:108-119).
+  * gradient accumulation: optax.MultiSteps (engine ``update_freq``).
+  * parameter freezing (linear probe / staged unfreeze): optax.multi_transform
+    with a zero transform — the optax analogue of requires_grad=False.
+"""
+from __future__ import annotations
+
+from typing import Callable, Mapping, Sequence
+
+import jax
+import numpy as np
+import optax
+
+
+def path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+
+def tree_path_map(fn: Callable[[str, jax.Array], object], tree):
+    return jax.tree_util.tree_map_with_path(lambda p, x: fn(path_str(p), x), tree)
+
+
+# ---------------------------------------------------------------------------
+# weight-decay masks
+# ---------------------------------------------------------------------------
+def pretrain_wd_mask(params):
+    """Decay iff torch-side ndim > 1 (timm param_groups_weight_decay).  GRN
+    gamma/beta and the mask token are (1,1,1,C)/(1,C) in torch -> decayed."""
+
+    def decide(path, leaf):
+        if "grn/" in path or path.endswith("mask_token"):
+            return True
+        return leaf.ndim > 1
+
+    return tree_path_map(decide, params)
+
+
+def finetune_wd_mask(params):
+    """No decay for 1-dim, bias, GRN gamma/beta (optim_factory.py:108-119)."""
+
+    def decide(path, leaf):
+        if leaf.ndim <= 1 or path.endswith("bias"):
+            return False
+        if path.endswith("gamma") or path.endswith("beta"):
+            return False
+        return True
+
+    return tree_path_map(decide, params)
+
+
+# ---------------------------------------------------------------------------
+# layer-wise LR decay (reference optim_factory.py:31-96)
+# ---------------------------------------------------------------------------
+def _parse_stage_block(path: str) -> tuple[str, int, int]:
+    """Map a flax param path to the reference naming scheme.  Our modules are
+    named stages_{i}_{j} / downsample_convs_{i} / downsample_norms_{i} /
+    stem_* / initial_conv_* / norm / head."""
+    parts = path.split("/")
+    head = parts[0]
+    if head.startswith("encoder"):
+        head = parts[1] if len(parts) > 1 else head
+    if head.startswith("stages_"):
+        _, i, j = head.split("_")
+        return "stages", int(i), int(j)
+    if head.startswith("downsample_"):
+        i = int(head.split("_")[-1])
+        return "downsample_layers", i, 0
+    if head.startswith(("stem", "initial_conv")):
+        # part of the stem == downsample_layers.0 in the reference naming
+        return "downsample_layers", 0, 0
+    return "other", -1, -1
+
+
+def layer_id_single(path: str, depths: Sequence[int]) -> int:
+    """optim_factory.get_num_layer_for_convnext_single (:31-47)."""
+    kind, i, j = _parse_stage_block(path)
+    if kind == "downsample_layers":
+        return sum(depths[:i]) + 1
+    if kind == "stages":
+        return sum(depths[:i]) + j + 1
+    return sum(depths) + 1
+
+
+def layer_id_group(path: str) -> int:
+    """optim_factory.get_num_layer_for_convnext (:50-78), 12-group scheme."""
+    kind, i, j = _parse_stage_block(path)
+    if kind == "downsample_layers":
+        return {0: 0, 1: 2, 2: 3, 3: 12}[i]
+    if kind == "stages":
+        if i in (0, 1):
+            return i + 1
+        if i == 2:
+            return 3 + j // 3
+        return 12
+    return 13
+
+
+def layer_lr_scales(params, layer_decay: float, depths: Sequence[int], kind: str = "single"):
+    """Per-leaf lr multipliers: decay ** (num_layers + 1 - layer_id)
+    (main_finetune.py:530-544)."""
+    num_layers = 12 if kind == "group" else sum(depths)
+
+    def scale(path, leaf):
+        lid = layer_id_group(path) if kind == "group" else layer_id_single(path, depths)
+        return layer_decay ** (num_layers + 1 - lid)
+
+    return tree_path_map(scale, params)
+
+
+def scale_by_pytree(scales) -> optax.GradientTransformation:
+    """Multiply updates leaf-wise by static factors (the lr_scale of torch
+    param groups; applied after scale_by_learning_rate, so both the adam step
+    and the decoupled weight decay are scaled, matching torch AdamW)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        return jax.tree_util.tree_map(lambda u, s: u * s, updates, scales), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def zero_grads_mask(params, trainable: Callable[[str], bool]):
+    """Boolean pytree: True = trainable (requires_grad equivalent)."""
+    return tree_path_map(lambda p, x: bool(trainable(p)), params)
+
+
+def masked_trainable(tx: optax.GradientTransformation, trainable_mask) -> optax.GradientTransformation:
+    """Freeze leaves where mask is False (optax.multi_transform over
+    {'train': tx, 'freeze': set_to_zero})."""
+    labels = jax.tree_util.tree_map(lambda t: "train" if t else "freeze", trainable_mask)
+    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+
+
+# ---------------------------------------------------------------------------
+# builders
+# ---------------------------------------------------------------------------
+def make_pretrain_optimizer(
+    params,
+    lr_schedule,
+    weight_decay: float = 0.05,
+    betas: tuple[float, float] = (0.9, 0.95),
+    update_freq: int = 1,
+) -> optax.GradientTransformation:
+    tx = optax.chain(
+        optax.scale_by_adam(b1=betas[0], b2=betas[1]),
+        optax.add_decayed_weights(weight_decay, mask=pretrain_wd_mask(params)),
+        optax.scale_by_learning_rate(lr_schedule),
+    )
+    if update_freq > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=update_freq)
+    return tx
+
+
+def make_finetune_optimizer(
+    params,
+    lr_schedule,
+    weight_decay: float = 0.3,
+    betas: tuple[float, float] = (0.9, 0.999),
+    layer_decay: float = 1.0,
+    layer_decay_type: str = "single",
+    depths: Sequence[int] = (2, 2, 6, 2),
+    trainable_mask=None,
+    update_freq: int = 1,
+) -> optax.GradientTransformation:
+    chain = [
+        optax.scale_by_adam(b1=betas[0], b2=betas[1]),
+        optax.add_decayed_weights(weight_decay, mask=finetune_wd_mask(params)),
+        optax.scale_by_learning_rate(lr_schedule),
+    ]
+    if layer_decay != 1.0:
+        chain.append(scale_by_pytree(layer_lr_scales(params, layer_decay, depths, layer_decay_type)))
+    tx = optax.chain(*chain)
+    if trainable_mask is not None:
+        tx = masked_trainable(tx, trainable_mask)
+    if update_freq > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=update_freq)
+    return tx

@@ -1,0 +1,160 @@
+"""Pretraining driver: the TPU-native main_pretrain (reference
+main_pretrain.py:165-391 + engine_pretrain.py:21-122).
+
+One jitted step over a `data` mesh subsumes the reference's engine loop, DDP,
+AMP scaler and NCCL collectives; the loader feeds mmpack batches with
+per-host sharding; Orbax handles rolling checkpoints + auto-resume.
+"""
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoints.orbax_io import CheckpointIO
+from ..configs.config import PretrainConfig, model_size
+from ..data.loader import PackedDataset, PackedLoader
+from ..data.pack import pack_mmearth
+from ..models import fcmae as fcmae_lib
+from ..parallel import mesh as mesh_lib
+from ..utils.logging import MetricLogger, TensorboardWriter, maybe_wandb
+from . import optim as optim_lib
+from .schedule import warmup_cosine
+from .step import TrainState, init_fcmae, make_pretrain_step
+
+
+def build_model(cfg: PretrainConfig, dtype=None) -> fcmae_lib.FCMAE:
+    depths, dims = model_size(cfg.model.model)
+    return fcmae_lib.FCMAE(
+        img_size=cfg.model.img_size,
+        patch_size=cfg.model.patch_size,
+        depths=depths,
+        dims=dims,
+        decoder_depth=cfg.model.decoder_depth,
+        decoder_embed_dim=cfg.model.decoder_embed_dim,
+        mask_ratio=cfg.model.mask_ratio,
+        norm_pix_loss=cfg.model.norm_pix_loss,
+        sparse=cfg.model.sparse,
+        use_orig_stem=cfg.model.use_orig_stem,
+        loss_aggr=cfg.run.loss_aggr,
+        loss_full=cfg.run.loss_full,
+        inp_modalities=cfg.data.inp_modalities,
+        out_modalities=cfg.data.out_modalities,
+        dtype=dtype if dtype is not None else (jnp.bfloat16 if cfg.run.use_bf16 else jnp.float32),
+    )
+
+
+def get_dataloader(cfg: PretrainConfig, split: str = "train"):
+    processed = Path(cfg.data.processed_dir or cfg.data.data_dir)
+    indices = [list(range(10))] if cfg.data.debug else None  # reference --debug (main_pretrain.py:219-221)
+    packed = pack_mmearth(
+        cfg.data.data_dir, processed, cfg.data.modalities, splits=(split,), indices=indices
+    )[0]
+    ds = PackedDataset(packed)
+    loader = PackedLoader(
+        ds,
+        batch_size=cfg.data.batch_size * jax.local_device_count(),
+        shuffle=split == "train",
+        drop_last=split == "train",
+        seed=cfg.run.seed,
+        shard=(jax.process_index(), jax.process_count()),
+    )
+    return ds, loader
+
+
+def run_pretrain(cfg: PretrainConfig):
+    mesh_lib.init_distributed()
+    mesh = mesh_lib.create_mesh()
+    is_main = jax.process_index() == 0
+
+    model = build_model(cfg)
+    ds, loader = get_dataloader(cfg)
+
+    eff_batch = cfg.data.batch_size * cfg.optim.update_freq * jax.device_count()
+    updates_per_epoch = max(len(ds) // eff_batch, 1)  # len(ds) is the global count; the loader shards it
+    lr = cfg.optim.absolute_lr(eff_batch)
+    if is_main:
+        print(f"effective batch size: {eff_batch}  actual lr: {lr:.2e}  updates/epoch: {updates_per_epoch}")
+
+    schedule = warmup_cosine(lr, cfg.optim.min_lr, cfg.run.epochs, cfg.optim.warmup_epochs, updates_per_epoch)
+
+    sample = next(iter(loader))
+    sample = {k: jnp.asarray(v[: max(2, jax.local_device_count())]) for k, v in sample.items()}
+    params = init_fcmae(model, cfg.run.seed, sample)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    n_params_enc = sum(
+        x.size for x in jax.tree_util.tree_leaves(params.get("encoder", {}))
+    )
+    if is_main:
+        print(f"number of params: {n_params} (encoder: {n_params_enc})")
+
+    tx = optim_lib.make_pretrain_optimizer(
+        params, schedule, cfg.optim.weight_decay, cfg.optim.betas, cfg.optim.update_freq
+    )
+    params = mesh_lib.shard_params(params, mesh)
+    state = TrainState.create(params, tx)
+
+    ckpt = CheckpointIO(cfg.run.output_dir, cfg.run.save_ckpt_num, cfg.run.save_ckpt_freq) if cfg.run.output_dir and cfg.run.save_ckpt else None
+    start_epoch = cfg.run.start_epoch
+    if ckpt is not None and cfg.run.auto_resume:
+        state, resumed = ckpt.restore(state)
+        if resumed is not None:
+            state = mesh_lib.place_state(state, mesh)
+            start_epoch = resumed + 1
+            print(f"auto-resumed from epoch {resumed}")
+
+    step_fn = jax.jit(make_pretrain_step(model, cfg.data.random_crop), donate_argnums=(0,))
+    rng = jax.random.PRNGKey(cfg.run.seed)
+
+    tb = TensorboardWriter(cfg.run.log_dir) if (cfg.run.log_dir and is_main) else None
+    wandb = maybe_wandb(cfg.run.wandb and is_main, cfg.run.wandb_project, cfg.run.wandb_run_name, vars(cfg.run)) if is_main else None
+
+    history = []
+    t_start = time.time()
+    for epoch in range(start_epoch, cfg.run.epochs):
+        loader.set_epoch(epoch)
+        logger = MetricLogger(header=f"Epoch: [{epoch}]")
+        pending = None
+        niter = len(loader)
+        for i, host_batch in logger.log_every(iter(loader), total=niter):
+            batch = mesh_lib.shard_batch(host_batch, mesh)
+            state, metrics = step_fn(state, batch, rng)
+            # lag metric materialization one step to avoid a sync bubble
+            if pending is not None:
+                loss_v = float(pending["loss"])
+                if not math.isfinite(loss_v):
+                    print(f"Loss is {loss_v}, stopping training")  # engine_pretrain.py:83-85
+                    sys.exit(1)
+                logger.update(loss=loss_v, lr=float(schedule(state.step // max(cfg.optim.update_freq, 1))))
+            pending = metrics
+        if pending is not None:
+            logger.update(loss=float(pending["loss"]))
+
+        stats = logger.averages()
+        loss_dict = {k[5:]: float(v) for k, v in pending.items() if k.startswith("loss_")}
+        log_vars = np.asarray(pending["log_vars"]).tolist() if "log_vars" in pending else None
+        history.append({"epoch": epoch, **stats})
+        if is_main:
+            sps = eff_batch * updates_per_epoch / max(time.time() - t_start, 1e-9)
+            print(f"epoch {epoch} done  avg loss {stats.get('loss', float('nan')):.4f}  ~{sps:.0f} samples/s")
+            t_start = time.time()
+        if tb is not None:
+            tb.log({**stats, **{f"loss_{k}": v for k, v in loss_dict.items()}}, epoch + 1)
+            tb.flush()
+        if wandb is not None:
+            payload = {**{f"train_{k}": v for k, v in stats.items()}, "epoch": epoch}
+            payload.update({f"train_loss_{k}": v for k, v in loss_dict.items()})
+            if log_vars is not None:
+                payload.update({f"log_var_{i}": v for i, v in enumerate(log_vars)})
+            wandb.log(payload)
+        if ckpt is not None and ((epoch + 1) % cfg.run.save_ckpt_freq == 0 or epoch + 1 == cfg.run.epochs):
+            ckpt.save(epoch, state)
+
+    if ckpt is not None:
+        ckpt.wait()
+    return state, history

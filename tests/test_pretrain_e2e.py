@@ -1,0 +1,97 @@
+"""End-to-end pretraining smoke tests on synthetic data (the reference's
+tests/pretrain_test.py needs the real 1M-sample download; we bundle a
+synthetic generator instead, SURVEY.md §4)."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mmearth_tpu.configs import modalities as M
+from mmearth_tpu.data.mmearth import MMEarthDataset
+from mmearth_tpu.data.pack import pack_split
+from mmearth_tpu.data.loader import PackedDataset, PackedLoader
+from mmearth_tpu.data.synthetic import generate
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    return generate(tmp_path_factory.mktemp("mmearth"), n=24, tile=64, seed=0)
+
+
+def test_dataset_transform_parity(synth_dir):
+    mods = {**M.INP_MODALITIES, **M.OUT_MODALITIES}
+    ds = MMEarthDataset(synth_dir, mods, split="train")
+    assert len(ds) == 21  # 24 - 24//8 val samples
+    item = ds[0]
+    assert item["sentinel2"].shape == (64, 64, 12) and item["sentinel2"].dtype == np.float32
+    assert item["sentinel1"].shape == (64, 64, 8)
+    assert item["dynamic_world"].dtype == np.int64
+    dw = item["dynamic_world"]
+    assert dw.min() >= -1 and dw.max() <= 8  # remap 1..9 -> 0..8, no-data -> -1
+    esa = item["esa_worldcover"]
+    assert esa.min() >= -1 and esa.max() <= 10  # remap 10..100 -> 0..10
+    assert item["biome"].shape == (14,)
+    assert item["era5"].shape == (12,)
+    # z-normalized continuous data should be roughly centered
+    assert abs(np.nanmean(item["sentinel2"])) < 1.0
+
+
+def test_pack_and_loader(synth_dir, tmp_path):
+    mods = {**M.INP_MODALITIES, **M.OUT_MODALITIES}
+    ds = MMEarthDataset(synth_dir, mods, split="train")
+    packed = pack_split(ds, tmp_path / "train")
+    pd = PackedDataset(packed)
+    assert pd.count == len(ds)
+    assert pd.arrays["dynamic_world"].dtype == np.int32
+
+    loader = PackedLoader(pd, batch_size=4, shuffle=True, drop_last=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 4
+    b = batches[0]
+    assert b["sentinel2"].shape == (4, 64, 64, 12)
+
+    # per-host sharding splits samples disjointly
+    l0 = PackedLoader(pd, batch_size=2, shuffle=False, drop_last=False, shard=(0, 2))
+    l1 = PackedLoader(pd, batch_size=2, shuffle=False, drop_last=False, shard=(1, 2))
+    n0 = sum(x["sentinel2"].shape[0] for x in l0)
+    n1 = sum(x["sentinel2"].shape[0] for x in l1)
+    assert n0 + n1 == pd.count
+
+    # reshuffle across epochs
+    loader.set_epoch(1)
+    b2 = next(iter(loader))
+    assert not np.array_equal(b["sentinel2"], b2["sentinel2"])
+
+
+def test_pretrain_main_smoke(synth_dir, tmp_path):
+    """Two epochs of the real CLI path on CPU (reference pretrain_test.py)."""
+    import main_pretrain
+
+    parser = main_pretrain.get_args_parser()
+    args = parser.parse_args(
+        [
+            "--data_dir", str(synth_dir),
+            "--processed_dir", str(tmp_path / "proc"),
+            "--output_dir", str(tmp_path / "out"),
+            "--model", "convnextv2_atto",
+            "--input_size", "56",
+            "--patch_size", "8",
+            "--batch_size", "2",
+            "--epochs", "2",
+            "--warmup_epochs", "1",
+            "--loss_aggr", "uncertainty",
+            "--use_bf16", "False",
+        ]
+    )
+    state, history = main_pretrain.main(args)
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["loss"])
+    # checkpoints written and resumable
+    ckpt_dir = tmp_path / "out" / "checkpoints"
+    assert ckpt_dir.exists()
+
+    # auto-resume: run again with more epochs, should start from epoch 2
+    args.epochs = 3
+    state2, history2 = main_pretrain.main(args)
+    assert len(history2) == 1 and history2[0]["epoch"] == 2
