@@ -146,6 +146,7 @@ class FinetuneConfig:
     data_set: str = "m-eurosat"
     partition: str = "default"
     geobench_bands_type: str = "full"
+    processed_dir: str | None = None
     nb_classes: int = 10
     in_channels: int = 12
     finetune: str = ""  # path to pretrain checkpoint

@@ -59,6 +59,11 @@ def shard_batch(batch: Mapping, mesh: Mesh):
 
         return {k: jnp.asarray(v) for k, v in batch.items()}
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        # each host holds its shard of the global batch
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, x), dict(batch)
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), dict(batch))
 
 

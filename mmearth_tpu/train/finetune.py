@@ -1,0 +1,206 @@
+"""GEO-Bench finetuning driver (reference main_finetune.py:427-806 +
+engine_finetune.py:56-300).
+
+Covers: classification finetune, linear probe, and UNet segmentation with the
+staged decoder-probe -> full-finetune unfreeze at epoch 50
+(main_finetune.py:598-619).  Eval metrics are dataset-overall, computed from
+device-side sufficient statistics.  Best-val checkpoint is tracked and the
+final test evaluation runs on the last-epoch weights, as the reference does
+(checkpoint-{epochs-1} reload, main_finetune.py:712-758).
+
+Deviation (documented): at the epoch-50 unfreeze the optimizer state is
+rebuilt fresh for all params, whereas torch's ``add_param_group`` keeps the
+old groups' Adam moments.  Moments re-warm within a few steps.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..checkpoints import load_pretrained as lp
+from ..checkpoints.orbax_io import CheckpointIO, save_params
+from ..configs.config import FinetuneConfig, model_size
+from ..data.geobench import NUM_CLASSES, TASK_CLASS, get_geobench_dataloaders
+from ..eval.metrics import batch_stats_fn, metric_for
+from ..losses.finetune import criterion_fn
+from ..models import convnextv2 as cnx
+from ..models import unet as unet_lib
+from ..parallel import mesh as mesh_lib
+from ..utils.logging import MetricLogger
+from . import optim as optim_lib
+from .schedule import warmup_cosine
+from .step import TrainState
+
+
+def build_finetune_model(cfg: FinetuneConfig, in_channels: int, nb_classes: int):
+    depths, dims = model_size(cfg.model.model)
+    common = dict(
+        patch_size=cfg.model.patch_size,
+        img_size=cfg.model.img_size,
+        in_chans=in_channels,
+        num_classes=nb_classes,
+        depths=depths,
+        dims=dims,
+        drop_path_rate=cfg.drop_path,
+        head_init_scale=cfg.head_init_scale,
+        use_orig_stem=cfg.model.use_orig_stem,
+        dtype=jnp.bfloat16 if cfg.run.use_bf16 else jnp.float32,
+    )
+    if "unet" in cfg.model.model:
+        return unet_lib.ConvNeXtV2Unet(**common)
+    return cnx.ConvNeXtV2(**common, sparse=False)
+
+
+def make_finetune_step(model, criterion, is_seg: bool):
+    def step(state: TrainState, batch, rng):
+        x = batch["input"]
+        y = batch["label"]
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params}, x, deterministic=False,
+                rngs={"droppath": jax.random.fold_in(rng, state.step)},
+            )
+            return criterion(logits, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def make_eval_step(model, stats_fn):
+    def eval_step(params, batch):
+        logits = model.apply({"params": params}, batch["input"])
+        return stats_fn(logits.astype(jnp.float32), batch["label"])
+
+    return eval_step
+
+
+def evaluate(params, loader, eval_step, metric):
+    metric.reset()
+    for batch in loader:
+        stats = eval_step(params, {k: jnp.asarray(v) for k, v in batch.items()})
+        metric.update_stats(jax.tree_util.tree_map(np.asarray, stats))
+    return metric.compute()
+
+
+def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
+    mesh_lib.init_distributed()
+    mesh = mesh_lib.create_mesh()
+    is_main = jax.process_index() == 0
+    is_seg = TASK_CLASS[cfg.data_set] == "segmentation"
+
+    if loaders is None:
+        if cfg.processed_dir:
+            processed = Path(cfg.processed_dir)
+        elif cfg.run.output_dir:
+            processed = Path(cfg.run.output_dir) / "geobench_proc"
+        else:
+            processed = Path(cfg.finetune).parent / "geobench_proc"
+        loaders, task = get_geobench_dataloaders(
+            cfg.data_set, processed, cfg.num_workers,
+            cfg.batch_size * jax.local_device_count(),  # batch_size is per-chip (reference per-GPU)
+            splits=("train", "val", "test"), partition=cfg.partition,
+            geobench_bands_type=cfg.geobench_bands_type, seed=cfg.run.seed,
+            shard=(jax.process_index(), jax.process_count()),
+        )
+    train_loader, val_loader, test_loader = loaders
+
+    sample = next(iter(train_loader))
+    in_channels = sample["input"].shape[-1]
+    nb_classes = task.num_classes if task is not None else NUM_CLASSES[cfg.data_set]
+
+    model = build_finetune_model(cfg, in_channels, nb_classes)
+    params = jax.jit(model.init)(jax.random.PRNGKey(cfg.run.seed), jnp.asarray(sample["input"][:2]))["params"]
+
+    # --- checkpoint bootstrap + freezing (helpers.py:799-1002)
+    depths, _ = model_size(cfg.model.model)
+    if cfg.finetune:
+        enc = lp.encoder_tree_from_checkpoint(cfg.finetune, depths, cfg.model.use_orig_stem)
+        params = lp.load_encoder_into(params, enc)
+        params = lp.reinit_head(params, cfg.run.seed)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    if cfg.linear_probe:
+        trainable = lp.unet_probe_trainable if "unet" in cfg.model.model else lp.classifier_probe_trainable
+    else:
+        if "unet" in cfg.model.model:
+            raise ValueError("unet runs use --linear_probe True (staged unfreeze); see helpers.py:800-804")
+        trainable = lp.all_trainable
+
+    eff_batch = cfg.batch_size * cfg.optim.update_freq * jax.device_count()
+    updates_per_epoch = max(len(train_loader.dataset) // eff_batch, 1)
+    lr = cfg.optim.absolute_lr(eff_batch)
+    schedule = warmup_cosine(lr, cfg.optim.min_lr, cfg.run.epochs, cfg.optim.warmup_epochs, updates_per_epoch)
+
+    def build_tx(trainable_fn):
+        mask = optim_lib.zero_grads_mask(params, trainable_fn)
+        return optim_lib.make_finetune_optimizer(
+            params, schedule, cfg.optim.weight_decay, cfg.optim.betas,
+            cfg.optim.layer_decay, cfg.optim.layer_decay_type, depths,
+            trainable_mask=mask, update_freq=cfg.optim.update_freq,
+        )
+
+    state = TrainState.create(params, build_tx(trainable))
+    criterion = criterion_fn(cfg.data_set, cfg.smoothing)
+    stats_fn = batch_stats_fn(cfg.data_set, nb_classes)
+    metric_name, metric = metric_for(cfg.data_set, nb_classes)
+
+    step_fn = jax.jit(make_finetune_step(model, criterion, is_seg), donate_argnums=(0,))
+    eval_fn = jax.jit(make_eval_step(model, stats_fn))
+    rng = jax.random.PRNGKey(cfg.run.seed)
+
+    ckpt = CheckpointIO(cfg.run.output_dir, cfg.run.save_ckpt_num) if (cfg.run.output_dir and cfg.run.save_ckpt) else None
+    best_val = -float("inf")
+    best_params = None
+    history = []
+    for epoch in range(cfg.run.start_epoch, cfg.run.epochs):
+        if is_seg and epoch == cfg.unfreeze_epoch and cfg.linear_probe:
+            if is_main:
+                print(f"epoch {epoch}: unfreezing the full model (main_finetune.py:598-619)")
+            state = TrainState.create(state.params, build_tx(lp.all_trainable))
+            step_fn = jax.jit(make_finetune_step(model, criterion, is_seg), donate_argnums=(0,))
+
+        train_loader.set_epoch(epoch)
+        logger = MetricLogger(header=f"Epoch: [{epoch}]")
+        last_metrics = None
+        for i, batch in logger.log_every(iter(train_loader), total=len(train_loader)):
+            device_batch = mesh_lib.shard_batch(batch, mesh)
+            state, m = step_fn(state, device_batch, rng)
+            if last_metrics is not None:
+                logger.update(loss=float(last_metrics["loss"]))
+            last_metrics = m
+        if last_metrics is not None:
+            logger.update(loss=float(last_metrics["loss"]))
+
+        val_score = evaluate(state.params, val_loader, eval_fn, metric) if val_loader is not None else float("nan")
+        stats = logger.averages()
+        history.append({"epoch": epoch, **stats, f"val_{metric_name}": val_score})
+        if is_main:
+            print(f"epoch {epoch}  loss {stats.get('loss', float('nan')):.4f}  val {metric_name} {val_score:.4f}")
+        if val_score >= best_val:
+            best_val = val_score
+            best_params = jax.tree_util.tree_map(np.asarray, state.params)
+        if ckpt is not None:
+            ckpt.save(epoch, state)
+
+    test_score = evaluate(state.params, test_loader, eval_fn, metric) if test_loader is not None else None
+    if is_main:
+        print(f"final test {metric_name}: {test_score}")
+        print(f"best val {metric_name}: {best_val}")
+    if ckpt is not None:
+        ckpt.wait()
+    if cfg.run.output_dir and best_params is not None:
+        save_params(Path(cfg.run.output_dir) / "checkpoint-best", best_params)
+    return {
+        "history": history,
+        f"best_val_{metric_name}": best_val,
+        f"test_{metric_name}": test_score,
+        "state": state,
+    }

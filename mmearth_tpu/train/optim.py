@@ -138,11 +138,26 @@ def zero_grads_mask(params, trainable: Callable[[str], bool]):
     return tree_path_map(lambda p, x: bool(trainable(p)), params)
 
 
-def masked_trainable(tx: optax.GradientTransformation, trainable_mask) -> optax.GradientTransformation:
-    """Freeze leaves where mask is False (optax.multi_transform over
-    {'train': tx, 'freeze': set_to_zero})."""
-    labels = jax.tree_util.tree_map(lambda t: "train" if t else "freeze", trainable_mask)
-    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+def mask_updates(trainable_mask) -> optax.GradientTransformation:
+    """Zero the incoming gradients of frozen leaves (requires_grad=False
+    equivalent).  With zeroed grads, scale_by_adam keeps mu=nu=0 so the final
+    update is exactly 0 — provided weight decay is also masked off for frozen
+    leaves (the builders below combine the masks)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        return (
+            jax.tree_util.tree_map(
+                lambda u, t: u if t else jax.numpy.zeros_like(u), updates, trainable_mask
+            ),
+            state,
+        )
+
+    return optax.GradientTransformation(init, update)
 
 
 # ---------------------------------------------------------------------------
@@ -176,16 +191,20 @@ def make_finetune_optimizer(
     trainable_mask=None,
     update_freq: int = 1,
 ) -> optax.GradientTransformation:
-    chain = [
+    wd_mask = finetune_wd_mask(params)
+    if trainable_mask is not None:
+        wd_mask = jax.tree_util.tree_map(lambda w, t: bool(w and t), wd_mask, trainable_mask)
+    chain = []
+    if trainable_mask is not None:
+        chain.append(mask_updates(trainable_mask))
+    chain += [
         optax.scale_by_adam(b1=betas[0], b2=betas[1]),
-        optax.add_decayed_weights(weight_decay, mask=finetune_wd_mask(params)),
+        optax.add_decayed_weights(weight_decay, mask=wd_mask),
         optax.scale_by_learning_rate(lr_schedule),
     ]
     if layer_decay != 1.0:
         chain.append(scale_by_pytree(layer_lr_scales(params, layer_decay, depths, layer_decay_type)))
     tx = optax.chain(*chain)
-    if trainable_mask is not None:
-        tx = masked_trainable(tx, trainable_mask)
     if update_freq > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=update_freq)
     return tx
