@@ -14,7 +14,10 @@ import jax.numpy as jnp
 
 def smoothed_cross_entropy(logits: jax.Array, labels: jax.Array, smoothing: float = 0.0) -> jax.Array:
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    labels = labels.astype(jnp.int32)
+    # one-hot select instead of take_along_axis (class-dim gathers serialize on TPU)
+    onehot = labels[..., None] == jnp.arange(logits.shape[-1], dtype=jnp.int32)
+    nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
     smooth = -jnp.mean(logp, axis=-1)
     return jnp.mean((1.0 - smoothing) * nll + smoothing * smooth)
 
