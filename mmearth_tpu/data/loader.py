@@ -17,6 +17,8 @@ from typing import Iterator, Sequence
 
 import numpy as np
 
+from . import native
+
 
 class PackedDataset:
     def __init__(self, path: Path | str):
@@ -33,7 +35,12 @@ class PackedDataset:
         return self.count
 
     def gather(self, rows: np.ndarray) -> dict[str, np.ndarray]:
-        return {name: arr[rows] for name, arr in self.arrays.items()}
+        return {name: native.gather_rows(arr, rows) for name, arr in self.arrays.items()}
+
+    def prefetch(self, rows: np.ndarray) -> None:
+        """Hint the OS to page in an upcoming batch's rows."""
+        for arr in self.arrays.values():
+            native.prefetch_rows(arr, rows)
 
 
 class PackedLoader:
@@ -102,9 +109,11 @@ class PackedLoader:
         stop = threading.Event()
 
         def worker():
-            for rows in batches:
+            for bi, rows in enumerate(batches):
                 if stop.is_set():
                     return
+                if bi + 1 < len(batches):
+                    self.dataset.prefetch(np.sort(batches[bi + 1]))
                 # sorted gather = sequential-ish reads from the memmap
                 q.put(self.dataset.gather(np.sort(rows)))
             q.put(None)
