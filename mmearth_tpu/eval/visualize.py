@@ -102,3 +102,66 @@ def render_panels(model, batch, maps, mask, out_dir, sample: int = 0, rgb_bands=
         fig.savefig(out_dir / f"{name}.png", dpi=100, bbox_inches="tight")
         plt.close(fig)
     return out_dir
+
+
+def main():
+    """CLI: visualize reconstructions from a pretrain checkpoint on synthetic
+    or real packed data (reference visualize_masking.py __main__)."""
+    import argparse
+
+    import jax
+
+    from ..checkpoints import load_pretrained as lp
+    from ..configs import modalities as M
+    from ..configs.config import model_size
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=None, help="pretrain checkpoint (.pth or orbax); random init if omitted")
+    ap.add_argument("--model", default="convnextv2_atto")
+    ap.add_argument("--input_size", type=int, default=56)
+    ap.add_argument("--patch_size", type=int, default=8)
+    ap.add_argument("--mask_ratio", type=float, default=0.6)
+    ap.add_argument("--out", default="./visualize")
+    ap.add_argument("--data_dir", default=None, help="packed mmearth split; synthetic if omitted")
+    args = ap.parse_args()
+
+    depths, dims = model_size(args.model)
+    model = fcmae_lib.FCMAE(
+        img_size=args.input_size, patch_size=args.patch_size, depths=depths, dims=dims,
+        sparse=True, loss_aggr="unweighted",
+        inp_modalities=M.INP_MODALITIES, out_modalities=M.OUT_MODALITIES,
+    )
+    if args.data_dir:
+        from ..data.loader import PackedDataset, PackedLoader
+
+        loader = PackedLoader(PackedDataset(args.data_dir), batch_size=4, shuffle=False, drop_last=False)
+        batch = {k: jnp.asarray(v[:, : args.input_size, : args.input_size] if v.ndim == 4 else v)
+                 for k, v in next(iter(loader)).items()}
+    else:
+        from ..data.synthetic import generate
+        from ..data.mmearth import MMEarthDataset
+
+        root = generate("/tmp/viz_synth", n=8, tile=max(64, args.input_size))
+        ds = MMEarthDataset(root, {**M.INP_MODALITIES, **M.OUT_MODALITIES}, split="train")
+        items = [ds[i] for i in range(4)]
+        batch = {
+            k: jnp.asarray(np.stack([it[k] for it in items])[:, : args.input_size, : args.input_size]
+                           if items[0][k].ndim == 3 else np.stack([it[k] for it in items]))
+            for k in items[0] if k != "id"
+        }
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}, batch
+    )["params"]
+    if args.ckpt:
+        enc = lp.encoder_tree_from_checkpoint(args.ckpt, depths)
+        params = jax.tree_util.tree_map(jnp.asarray, lp.load_encoder_into(
+            jax.tree_util.tree_map(np.asarray, params), enc))
+
+    maps, mask = run_one_batch(model, {"params": params}["params"], batch, mask_ratio=args.mask_ratio)
+    out = render_panels(model, batch, maps, mask, args.out)
+    print(f"wrote reconstruction panels to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -28,3 +28,28 @@ def warmup_cosine(
         return jnp.where(e < warmup_epochs, warm, cos)
 
     return schedule
+
+
+def cosine_scheduler_array(
+    base_value: float,
+    final_value: float,
+    epochs: int,
+    niter_per_ep: int,
+    warmup_epochs: int = 0,
+    start_warmup_value: float = 0.0,
+    warmup_steps: int = -1,
+):
+    """Precomputed per-iteration schedule array (the reference's second,
+    array-based scheduler, helpers.py:613-644): linear warmup then half-cosine
+    from base to final value; len == epochs * niter_per_ep."""
+    import numpy as np
+
+    warmup_iters = warmup_steps if warmup_steps > 0 else warmup_epochs * niter_per_ep
+    warmup = np.linspace(start_warmup_value, base_value, warmup_iters) if warmup_iters > 0 else np.array([])
+    iters = np.arange(epochs * niter_per_ep - warmup_iters)
+    decay = final_value + 0.5 * (base_value - final_value) * (
+        1.0 + np.cos(np.pi * iters / max(len(iters), 1))
+    )
+    schedule = np.concatenate([warmup, decay])
+    assert len(schedule) == epochs * niter_per_ep
+    return schedule
