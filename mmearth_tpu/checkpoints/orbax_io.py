@@ -28,6 +28,8 @@ class CheckpointIO:
 
     def save(self, epoch: int, state: Any, extra: dict | None = None):
         payload = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+        if getattr(state, "model_state", None):
+            payload["model_state"] = state.model_state
         if extra:
             payload["extra"] = extra
         self.manager.save(epoch, args=ocp.args.StandardSave(payload))
@@ -45,9 +47,12 @@ class CheckpointIO:
         if epoch is None:
             return state, None
         target = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+        if getattr(state, "model_state", None):
+            target["model_state"] = state.model_state
         restored = self.manager.restore(epoch, args=ocp.args.StandardRestore(target))
         state = state.replace(
-            params=restored["params"], opt_state=restored["opt_state"], step=restored["step"]
+            params=restored["params"], opt_state=restored["opt_state"], step=restored["step"],
+            model_state=restored.get("model_state", state.model_state),
         )
         return state, epoch
 

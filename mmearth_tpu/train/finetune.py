@@ -38,6 +38,14 @@ from .step import TrainState
 
 
 def build_finetune_model(cfg: FinetuneConfig, in_channels: int, nb_classes: int):
+    if cfg.model.model.startswith("resnet"):
+        from ..models import resnet as resnet_lib
+
+        builder = {"resnet18": resnet_lib.resnet18, "resnet50": resnet_lib.resnet50}[cfg.model.model]
+        return builder(
+            num_classes=nb_classes, in_chans=in_channels,
+            dtype=jnp.bfloat16 if cfg.run.use_bf16 else jnp.float32,
+        )
     depths, dims = model_size(cfg.model.model)
     common = dict(
         patch_size=cfg.model.patch_size,
@@ -56,37 +64,52 @@ def build_finetune_model(cfg: FinetuneConfig, in_channels: int, nb_classes: int)
     return cnx.ConvNeXtV2(**common, sparse=False)
 
 
-def make_finetune_step(model, criterion, is_seg: bool):
+def make_finetune_step(model, criterion, is_seg: bool, has_batch_stats: bool = False):
     def step(state: TrainState, batch, rng):
         x = batch["input"]
         y = batch["label"]
 
-        def loss_fn(params):
-            logits = model.apply(
-                {"params": params}, x, deterministic=False,
-                rngs={"droppath": jax.random.fold_in(rng, state.step)},
-            )
-            return criterion(logits, y)
+        if has_batch_stats:
+            def loss_fn(params):
+                logits, mutated = model.apply(
+                    {"params": params, **state.model_state}, x,
+                    train=True, mutable=["batch_stats"],
+                )
+                return criterion(logits, y), mutated
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        new_state = state.apply_gradients(grads)
+            (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            new_state = state.apply_gradients(grads, model_state=mutated)
+        else:
+            def loss_fn(params):
+                logits = model.apply(
+                    {"params": params}, x, deterministic=False,
+                    rngs={"droppath": jax.random.fold_in(rng, state.step)},
+                )
+                return criterion(logits, y)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            new_state = state.apply_gradients(grads)
         return new_state, {"loss": loss}
 
     return step
 
 
-def make_eval_step(model, stats_fn):
-    def eval_step(params, batch):
-        logits = model.apply({"params": params}, batch["input"])
+def make_eval_step(model, stats_fn, has_batch_stats: bool = False):
+    def eval_step(params, batch, model_state=None):
+        variables = {"params": params, **(model_state or {})}
+        if has_batch_stats:
+            logits = model.apply(variables, batch["input"], train=False)
+        else:
+            logits = model.apply(variables, batch["input"])
         return stats_fn(logits.astype(jnp.float32), batch["label"])
 
     return eval_step
 
 
-def evaluate(params, loader, eval_step, metric):
+def evaluate(params, loader, eval_step, metric, model_state=None):
     metric.reset()
     for batch in loader:
-        stats = eval_step(params, {k: jnp.asarray(v) for k, v in batch.items()})
+        stats = eval_step(params, {k: jnp.asarray(v) for k, v in batch.items()}, model_state)
         metric.update_stats(jax.tree_util.tree_map(np.asarray, stats))
     return metric.compute()
 
@@ -117,18 +140,26 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
     in_channels = sample["input"].shape[-1]
     nb_classes = task.num_classes if task is not None else NUM_CLASSES[cfg.data_set]
 
+    is_resnet = cfg.model.model.startswith("resnet")
     model = build_finetune_model(cfg, in_channels, nb_classes)
-    params = jax.jit(model.init)(jax.random.PRNGKey(cfg.run.seed), jnp.asarray(sample["input"][:2]))["params"]
+    variables = jax.jit(model.init)(jax.random.PRNGKey(cfg.run.seed), jnp.asarray(sample["input"][:2]))
+    params = variables["params"]
+    model_state = {"batch_stats": variables["batch_stats"]} if is_resnet else None
 
     # --- checkpoint bootstrap + freezing (helpers.py:799-1002)
-    depths, _ = model_size(cfg.model.model)
-    if cfg.finetune:
+    depths = model_size(cfg.model.model)[0] if not is_resnet else (2, 2, 2, 2)
+    if cfg.finetune and not is_resnet:
         enc = lp.encoder_tree_from_checkpoint(cfg.finetune, depths, cfg.model.use_orig_stem)
         params = lp.load_encoder_into(params, enc)
         params = lp.reinit_head(params, cfg.run.seed)
         params = jax.tree_util.tree_map(jnp.asarray, params)
     if cfg.linear_probe:
-        trainable = lp.unet_probe_trainable if "unet" in cfg.model.model else lp.classifier_probe_trainable
+        if is_resnet:
+            trainable = lambda path: path.startswith("fc")  # helpers.py:968-983
+        elif "unet" in cfg.model.model:
+            trainable = lp.unet_probe_trainable
+        else:
+            trainable = lp.classifier_probe_trainable
     else:
         if "unet" in cfg.model.model:
             raise ValueError("unet runs use --linear_probe True (staged unfreeze); see helpers.py:800-804")
@@ -147,13 +178,13 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
             trainable_mask=mask, update_freq=cfg.optim.update_freq,
         )
 
-    state = TrainState.create(params, build_tx(trainable))
+    state = TrainState.create(params, build_tx(trainable), model_state=model_state)
     criterion = criterion_fn(cfg.data_set, cfg.smoothing)
     stats_fn = batch_stats_fn(cfg.data_set, nb_classes)
     metric_name, metric = metric_for(cfg.data_set, nb_classes)
 
-    step_fn = jax.jit(make_finetune_step(model, criterion, is_seg), donate_argnums=(0,))
-    eval_fn = jax.jit(make_eval_step(model, stats_fn))
+    step_fn = jax.jit(make_finetune_step(model, criterion, is_seg, is_resnet), donate_argnums=(0,))
+    eval_fn = jax.jit(make_eval_step(model, stats_fn, is_resnet))
     rng = jax.random.PRNGKey(cfg.run.seed)
 
     ckpt = CheckpointIO(cfg.run.output_dir, cfg.run.save_ckpt_num) if (cfg.run.output_dir and cfg.run.save_ckpt) else None
@@ -164,8 +195,8 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
         if is_seg and epoch == cfg.unfreeze_epoch and cfg.linear_probe:
             if is_main:
                 print(f"epoch {epoch}: unfreezing the full model (main_finetune.py:598-619)")
-            state = TrainState.create(state.params, build_tx(lp.all_trainable))
-            step_fn = jax.jit(make_finetune_step(model, criterion, is_seg), donate_argnums=(0,))
+            state = TrainState.create(state.params, build_tx(lp.all_trainable), model_state=state.model_state)
+            step_fn = jax.jit(make_finetune_step(model, criterion, is_seg, is_resnet), donate_argnums=(0,))
 
         train_loader.set_epoch(epoch)
         logger = MetricLogger(header=f"Epoch: [{epoch}]")
@@ -179,7 +210,7 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
         if last_metrics is not None:
             logger.update(loss=float(last_metrics["loss"]))
 
-        val_score = evaluate(state.params, val_loader, eval_fn, metric) if val_loader is not None else float("nan")
+        val_score = evaluate(state.params, val_loader, eval_fn, metric, state.model_state) if val_loader is not None else float("nan")
         stats = logger.averages()
         history.append({"epoch": epoch, **stats, f"val_{metric_name}": val_score})
         if is_main:
@@ -190,7 +221,7 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
         if ckpt is not None:
             ckpt.save(epoch, state)
 
-    test_score = evaluate(state.params, test_loader, eval_fn, metric) if test_loader is not None else None
+    test_score = evaluate(state.params, test_loader, eval_fn, metric, state.model_state) if test_loader is not None else None
     if is_main:
         print(f"final test {metric_name}: {test_score}")
         print(f"best val {metric_name}: {best_val}")

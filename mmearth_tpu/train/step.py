@@ -24,18 +24,25 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # non-gradient model collections (e.g. BatchNorm running stats for the
+    # ResNet baselines); empty for the ConvNeXt family
+    model_state: Any = None
 
-    def apply_gradients(self, grads):
+    def apply_gradients(self, grads, model_state=...):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
         return self.replace(
             step=self.step + 1,
             params=optax.apply_updates(self.params, updates),
             opt_state=new_opt,
+            model_state=self.model_state if model_state is ... else model_state,
         )
 
     @classmethod
-    def create(cls, params, tx):
-        return cls(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params), tx=tx)
+    def create(cls, params, tx, model_state=None):
+        return cls(
+            step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params),
+            tx=tx, model_state=model_state,
+        )
 
 
 def make_pretrain_step(model: "fcmae_lib.FCMAE", random_crop: bool = True):

@@ -179,3 +179,23 @@ def test_probe_freezes_encoder(tmp_path):
         b = jax.tree_util.tree_leaves(state.params[key])
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6, err_msg=key)
+
+
+def test_resnet_baseline_e2e(tmp_path):
+    """ResNet baseline path (reference main_finetune.py:478-501 torchvision
+    baselines): trains with BatchNorm state threading."""
+    import main_finetune
+
+    generate_synthetic_geobench(tmp_path / "proc", "m-eurosat", n_per_split=(32, 8, 8))
+    args = main_finetune.get_args_parser().parse_args(
+        [
+            "--data_set", "m-eurosat",
+            "--processed_dir", str(tmp_path / "proc"),
+            "--model", "resnet18",
+            "--batch_size", "1", "--epochs", "1",
+            "--use_bf16", "False", "--drop_path", "0.0",
+        ]
+    )
+    result = main_finetune.main(args)
+    assert np.isfinite(result["history"][0]["loss"])
+    assert result["test_Accuracy"] is not None
