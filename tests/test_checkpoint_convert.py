@@ -150,3 +150,25 @@ def test_raw_minkowski_fcmae_import():
                 np.testing.assert_allclose(a[kk], b[kk], err_msg=path + "/" + kk, atol=0)
 
     cmp(ref["encoder"], back["encoder"])
+
+
+def test_pth_file_roundtrip(tmp_path):
+    """Exported .pth is a real torch-loadable file and round-trips."""
+    from mmearth_tpu.checkpoints.torch_convert import load_pth, save_pth
+
+    model = cnx.convnextv2_atto(img_size=56, patch_size=8, in_chans=12, num_classes=10)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 56, 56, 12)))["params"]
+    sd = tc.flax_encoder_to_torch(params, depths=(2, 2, 6, 2))
+    path = tmp_path / "export.pth"
+    save_pth(path, sd)
+
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    assert "model" in raw and set(raw["model"]) == set(sd)
+
+    back = load_pth(path)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k])
+    tree = tc.torch_encoder_to_flax(back, depths=(2, 2, 6, 2))
+    tree_equal(jax.tree_util.tree_map(np.asarray, params), tree)
