@@ -58,9 +58,10 @@ class CheckpointIO:
 
 
 def save_params(path: str | Path, params: Any):
-    """One-shot params-only save (for released-checkpoint style artifacts)."""
+    """One-shot params-only save (for released-checkpoint style artifacts);
+    overwrites an existing checkpoint (e.g. checkpoint-best on resume)."""
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(Path(path).absolute(), params)
+    ckptr.save(Path(path).absolute(), params, force=True)
     ckptr.wait_until_finished()
 
 

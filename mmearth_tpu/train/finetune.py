@@ -188,11 +188,22 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
     rng = jax.random.PRNGKey(cfg.run.seed)
 
     ckpt = CheckpointIO(cfg.run.output_dir, cfg.run.save_ckpt_num) if (cfg.run.output_dir and cfg.run.save_ckpt) else None
+    start_epoch = cfg.run.start_epoch
+    if ckpt is not None and cfg.run.auto_resume:
+        state, resumed = ckpt.restore(state)
+        if resumed is not None:
+            state = mesh_lib.place_state(state, mesh)
+            start_epoch = resumed + 1
+            if is_main:
+                print(f"auto-resumed from epoch {resumed}")
+
     best_val = -float("inf")
     best_params = None
     history = []
-    for epoch in range(cfg.run.start_epoch, cfg.run.epochs):
-        if is_seg and epoch == cfg.unfreeze_epoch and cfg.linear_probe:
+    unfrozen = False
+    for epoch in range(start_epoch, cfg.run.epochs):
+        if is_seg and cfg.linear_probe and not unfrozen and epoch >= cfg.unfreeze_epoch:
+            unfrozen = True
             if is_main:
                 print(f"epoch {epoch}: unfreezing the full model (main_finetune.py:598-619)")
             state = TrainState.create(state.params, build_tx(lp.all_trainable), model_state=state.model_state)

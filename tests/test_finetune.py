@@ -199,3 +199,24 @@ def test_resnet_baseline_e2e(tmp_path):
     result = main_finetune.main(args)
     assert np.isfinite(result["history"][0]["loss"])
     assert result["test_Accuracy"] is not None
+
+
+def test_finetune_auto_resume(tmp_path):
+    """Auto-resume restores the latest epoch (reference auto_load_model)."""
+    import main_finetune
+
+    generate_synthetic_geobench(tmp_path / "proc", "m-eurosat", n_per_split=(32, 8, 8))
+    argv = [
+        "--data_set", "m-eurosat",
+        "--processed_dir", str(tmp_path / "proc"),
+        "--output_dir", str(tmp_path / "out"),
+        "--model", "convnextv2_atto",
+        "--input_size", "64", "--patch_size", "8",
+        "--batch_size", "1", "--epochs", "2", "--use_bf16", "False",
+    ]
+    r1 = main_finetune.main(main_finetune.get_args_parser().parse_args(argv))
+    assert [h["epoch"] for h in r1["history"]] == [0, 1]
+
+    argv[argv.index("--epochs") + 1] = "3"
+    r2 = main_finetune.main(main_finetune.get_args_parser().parse_args(argv))
+    assert [h["epoch"] for h in r2["history"]] == [2]
