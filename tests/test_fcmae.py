@@ -95,3 +95,47 @@ def test_fcmae_decoder_shared_params():
     )
     decoder_keys = [k for k in variables["params"] if k.startswith("decoder")]
     assert len(decoder_keys) == 1  # one shared stack, not one per modality
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MMEARTH_SLOW_TESTS"),
+    reason="~30 min on the CPU simulation (seconds on TPU); set MMEARTH_SLOW_TESTS=1",
+)
+def test_pretrain_converges():
+    """Training dynamics sanity: loss drops substantially when overfitting a
+    tiny batch at a reasonable lr (guards against silent gradient bugs).
+    Verified passing on both the CPU sim and the real chip."""
+    import functools
+
+    from mmearth_tpu.train import optim as optim_lib
+    from mmearth_tpu.train.schedule import warmup_cosine
+    from mmearth_tpu.train.step import TrainState, init_fcmae, make_pretrain_step
+
+    model = fcmae.convnextv2_atto(
+        img_size=56, patch_size=8, sparse=True, loss_aggr="uncertainty",
+        inp_modalities=M.INP_MODALITIES, out_modalities=M.OUT_MODALITIES,
+    )
+    batch = _tiny_batch(n=8, tile=64)
+    params = init_fcmae(model, 0, {k: v[:2] for k, v in batch.items()})
+    tx = optim_lib.make_pretrain_optimizer(params, warmup_cosine(2e-4, 0, 100, 2, 10))
+    state = TrainState.create(params, tx)
+    step = make_pretrain_step(model, random_crop=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(state, batch, rng):
+        def body(carry, i):
+            st, _ = carry
+            st, m = step(st, batch, jax.random.fold_in(rng, i))
+            return (st, m["loss"]), m["loss"]
+
+        (state, _), losses = jax.lax.scan(body, (state, jnp.float32(0)), jnp.arange(40))
+        return state, losses
+
+    _, losses = run(state, batch, jax.random.PRNGKey(0))
+    losses = np.asarray(losses)
+    assert np.all(np.isfinite(losses)), losses
+    assert losses[-5:].mean() < 0.7 * losses[0], (losses[0], losses[-5:].mean())
