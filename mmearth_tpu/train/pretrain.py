@@ -124,13 +124,17 @@ def run_pretrain(cfg: PretrainConfig):
         for i, host_batch in logger.log_every(iter(loader), total=niter):
             batch = mesh_lib.shard_batch(host_batch, mesh)
             state, metrics = step_fn(state, batch, rng)
-            # lag metric materialization one step to avoid a sync bubble
-            if pending is not None:
+            # Materialize metrics only at print boundaries: every device->host
+            # fetch costs a full dispatch round trip, so per-step fetches
+            # (reference loss.item(), engine_pretrain.py:78) would serialize
+            # the pipeline.  The non-finite check runs at the same cadence.
+            if pending is not None and i % logger.print_freq == 0:
                 loss_v = float(pending["loss"])
                 if not math.isfinite(loss_v):
                     print(f"Loss is {loss_v}, stopping training")  # engine_pretrain.py:83-85
                     sys.exit(1)
-                logger.update(loss=loss_v, lr=float(schedule(state.step // max(cfg.optim.update_freq, 1))))
+                logger.update(n=logger.print_freq, loss=loss_v,
+                              lr=float(schedule(state.step // max(cfg.optim.update_freq, 1))))
             pending = metrics
         if pending is not None:
             logger.update(loss=float(pending["loss"]))
