@@ -61,6 +61,8 @@ def get_args_parser():
     p.add_argument("--debug", type=str2bool, default=False)
     p.add_argument("--use_bf16", type=str2bool, default=True,
                    help="bf16 compute policy (TPU-native replacement for --use_mixed)")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="chain k optimizer steps per device dispatch (hides dispatch latency)")
 
     # accepted for reference compatibility; no-ops on TPU
     for flag, default in [
@@ -99,7 +101,7 @@ def config_from_args(args) -> PretrainConfig:
             auto_resume=args.auto_resume, save_ckpt=args.save_ckpt,
             save_ckpt_freq=args.save_ckpt_freq, save_ckpt_num=args.save_ckpt_num,
             loss_aggr=args.loss_aggr, loss_full=args.loss_full,
-            use_bf16=args.use_bf16,
+            use_bf16=args.use_bf16, steps_per_dispatch=args.steps_per_dispatch,
             wandb=args.wandb, wandb_project=args.wandb_project,
             wandb_run_name=args.wandb_run_name,
         ),

@@ -123,6 +123,9 @@ class RunConfig:
     loss_aggr: str = "uncertainty"  # or "unweighted"
     loss_full: bool = False  # compute recon loss on all patches, not just masked
     use_bf16: bool = True  # TPU-native replacement for --use_mixed/AMP
+    # chain k optimizer steps per device dispatch (hides dispatch latency;
+    # the loader supplies k batches at once)
+    steps_per_dispatch: int = 1
     wandb: bool = False
     wandb_project: str = "global-lr"
     wandb_run_name: str | None = None

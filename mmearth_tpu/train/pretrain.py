@@ -25,7 +25,20 @@ from ..parallel import mesh as mesh_lib
 from ..utils.logging import MetricLogger, TensorboardWriter, maybe_wandb
 from . import optim as optim_lib
 from .schedule import warmup_cosine
-from .step import TrainState, init_fcmae, make_pretrain_step
+from .step import TrainState, init_fcmae, make_chained_step, make_pretrain_step
+
+
+def _chunked_batches(it, k: int):
+    """Group k host batches into one stacked dict (leading axis k) for
+    chained dispatch; tail batches are yielded unstacked."""
+    buf = []
+    for b in it:
+        buf.append(b)
+        if len(buf) == k:
+            yield {key: np.stack([bb[key] for bb in buf]) for key in buf[0]}
+            buf = []
+    for b in buf:
+        yield b
 
 
 def build_model(cfg: PretrainConfig, dtype=None) -> fcmae_lib.FCMAE:
@@ -109,6 +122,11 @@ def run_pretrain(cfg: PretrainConfig):
             print(f"auto-resumed from epoch {resumed}")
 
     step_fn = jax.jit(make_pretrain_step(model, cfg.data.random_crop), donate_argnums=(0,))
+    k = max(cfg.run.steps_per_dispatch, 1)
+    chained_fn = (
+        jax.jit(make_chained_step(make_pretrain_step(model, cfg.data.random_crop), k), donate_argnums=(0,))
+        if k > 1 else None
+    )
     rng = jax.random.PRNGKey(cfg.run.seed)
 
     tb = TensorboardWriter(cfg.run.log_dir) if (cfg.run.log_dir and is_main) else None
@@ -121,9 +139,16 @@ def run_pretrain(cfg: PretrainConfig):
         logger = MetricLogger(header=f"Epoch: [{epoch}]")
         pending = None
         niter = len(loader)
-        for i, host_batch in logger.log_every(iter(loader), total=niter):
-            batch = mesh_lib.shard_batch(host_batch, mesh)
-            state, metrics = step_fn(state, batch, rng)
+        batch_iter = iter(loader) if k == 1 else _chunked_batches(iter(loader), k)
+        niter = niter if k == 1 else -(-niter // k)
+        for i, host_batch in logger.log_every(batch_iter, total=niter):
+            if k == 1 or host_batch["sentinel2"].ndim == 4:
+                # single step (tail groups smaller than k come through unstacked)
+                batch = mesh_lib.shard_batch(host_batch, mesh)
+                state, metrics = step_fn(state, batch, rng)
+            else:
+                batch = {kk: jnp.asarray(v) for kk, v in host_batch.items()}
+                state, metrics = chained_fn(state, batch, rng)
             # Materialize metrics only at print boundaries: every device->host
             # fetch costs a full dispatch round trip, so per-step fetches
             # (reference loss.item(), engine_pretrain.py:78) would serialize

@@ -83,6 +83,23 @@ def make_pretrain_step(model: "fcmae_lib.FCMAE", random_crop: bool = True):
     return step
 
 
+def make_chained_step(step_fn, k: int):
+    """Run k training steps in one dispatch via lax.scan over a stacked batch
+    dict (leading axis k).  Hides per-dispatch latency (high on relay-attached
+    chips; see utils/profiling.py) and returns the last step's metrics."""
+
+    def chained(state, batches: Mapping[str, jax.Array], rng):
+        def body(st, i):
+            batch = jax.tree_util.tree_map(lambda x: x[i], batches)
+            st, metrics = step_fn(st, batch, jax.random.fold_in(rng, i))
+            return st, metrics
+
+        state, metrics = jax.lax.scan(body, state, jnp.arange(k))
+        return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+    return chained
+
+
 def init_fcmae(model: "fcmae_lib.FCMAE", seed: int, sample_batch: Mapping[str, jax.Array]):
     """Initialize FCMAE params from a sample batch (cropped to img_size)."""
 

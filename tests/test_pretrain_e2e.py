@@ -95,3 +95,22 @@ def test_pretrain_main_smoke(synth_dir, tmp_path):
     args.epochs = 3
     state2, history2 = main_pretrain.main(args)
     assert len(history2) == 1 and history2[0]["epoch"] == 2
+
+
+def test_pretrain_chained_dispatch(synth_dir, tmp_path):
+    """--steps_per_dispatch chains k steps per device dispatch."""
+    import main_pretrain
+
+    args = main_pretrain.get_args_parser().parse_args(
+        [
+            "--data_dir", str(synth_dir),
+            "--processed_dir", str(tmp_path / "proc"),
+            "--model", "convnextv2_atto",
+            "--input_size", "56", "--patch_size", "8",
+            "--batch_size", "1", "--epochs", "1", "--warmup_epochs", "1",
+            "--steps_per_dispatch", "2", "--use_bf16", "False",
+        ]
+    )
+    state, history = main_pretrain.main(args)
+    assert np.isfinite(history[0]["loss"])
+    assert int(state.step) == 21 // 8  # 21 train samples, batch 8 (1 x 8 devices)
