@@ -31,6 +31,9 @@ def get_args_parser():
     p.add_argument("--input_size", default=56, type=int)
     p.add_argument("--patch_size", default=8, type=int)
     p.add_argument("--use_orig_stem", type=str2bool, default=False)
+    p.add_argument("--padding_mode", choices=["same", "reference"], default="same",
+                   help="'reference' reproduces the reference dense model's exact "
+                        "padding (112-16 only) for bit-faithful checkpoint eval")
     p.add_argument("--drop_path", type=float, default=0.1)
     p.add_argument("--head_init_scale", default=0.001, type=float)
 
@@ -90,6 +93,7 @@ def config_from_args(args) -> FinetuneConfig:
         model=ModelConfig(
             model=args.model, img_size=args.input_size, patch_size=args.patch_size,
             use_orig_stem=args.use_orig_stem, sparse=False,
+            padding_mode=args.padding_mode,
         ),
         optim=OptimConfig(
             blr=args.blr, lr=args.lr, min_lr=args.min_lr, weight_decay=args.weight_decay,

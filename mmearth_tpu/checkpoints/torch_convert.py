@@ -261,14 +261,25 @@ def torch_fcmae_to_flax(
 
 
 def flax_fcmae_to_torch(tree: Mapping, depths, out_modalities, decoder_depth: int = 1,
-                        use_orig_stem: bool = False) -> dict[str, np.ndarray]:
+                        use_orig_stem: bool = False, dims=None,
+                        num_classes: int = 1000) -> dict[str, np.ndarray]:
     """FCMAE params -> reference-compatible dense `.pth` state dict.  The
     shared decoder stack is written under *every* modality name, exactly as
-    torch's state_dict does for the shared Block instances (fcmae.py:119-137)."""
+    torch's state_dict does for the shared Block instances (fcmae.py:119-137).
+
+    The reference *dense* FCMAE registers an unused classifier norm/head on
+    its encoder (convnextv2.py:148-153); our pretrain tree never materializes
+    them, so when ``dims`` is given we emit fresh defaults (LN = 1/0, head =
+    0) to make the export strict-loadable into the reference model."""
     np_tree = _to_numpy(dict(tree))
     sd: dict[str, np.ndarray] = {}
     for k, v in flax_encoder_to_torch(np_tree["encoder"], depths, use_orig_stem).items():
         sd[f"encoder.{k}"] = v
+    if dims is not None and "encoder.norm.weight" not in sd:
+        sd["encoder.norm.weight"] = np.ones(dims[-1], dtype=np.float32)
+        sd["encoder.norm.bias"] = np.zeros(dims[-1], dtype=np.float32)
+        sd["encoder.head.weight"] = np.zeros((num_classes, dims[-1]), dtype=np.float32)
+        sd["encoder.head.bias"] = np.zeros(num_classes, dtype=np.float32)
     sd["proj.weight"] = _conv_f2t(np_tree["proj"]["kernel"])
     sd["proj.bias"] = np_tree["proj"]["bias"]
     sd["mask_token"] = np_tree["mask_token"].reshape(1, -1, 1, 1)

@@ -51,6 +51,13 @@ class ModelConfig:
     # dense masked path; sparse=False reproduces the reference's "leaky" dense
     # path (mask applied to the input only: convnextv2.py:185-203).
     sparse: bool = True
+    # "same" keeps the mask grid aligned at every geometry; "reference"
+    # reproduces the reference dense model's exact padding (VALID initial_conv
+    # + stride//2-padded stem, convnextv2.py:109,114-124) for bit-faithful
+    # eval of released dense-path checkpoints at 112-16.  Measured deviation
+    # between the two on identical weights: ~10% relative feature norm (see
+    # tests/test_reference_parity.py::test_padding_deviation_quantified).
+    padding_mode: str = "same"
     drop_path_rate: float = 0.0
 
     @property

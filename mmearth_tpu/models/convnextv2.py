@@ -24,6 +24,13 @@ convnextv2.py:109, which breaks the 56px/patch-8 geometry), we use SAME zero
 padding — this matches the Minkowski stride-1 convolution, which preserves the
 coordinate set (zero contributions from absent neighbors), and keeps the mask
 grid aligned for both 56-8 and 112-16 geometries.
+
+``padding_mode="reference"`` instead reproduces the reference dense model's
+exact padding (VALID ``initial_conv``, convnextv2.py:109; ``stride//2``-padded
+stem, :114-124) for bit-faithful eval of released dense checkpoints at the
+112-16 geometry (the only geometry where the reference dense path is
+shape-consistent).  It applies to the classifier/unmasked paths only — the
+masked sparse-equivalent path requires SAME alignment.
 """
 from __future__ import annotations
 
@@ -127,6 +134,7 @@ class ConvNeXtV2(nn.Module):
     head_init_scale: float = 1.0
     use_orig_stem: bool = False
     sparse: bool = False
+    padding_mode: str = "same"  # "same" | "reference" (see module docstring)
     dtype: Dtype = jnp.float32
 
     @property
@@ -134,6 +142,10 @@ class ConvNeXtV2(nn.Module):
         return self.patch_size // (2 ** (len(self.depths) - 1))
 
     def setup(self):
+        if self.padding_mode not in ("same", "reference"):
+            raise ValueError(f"padding_mode must be 'same' or 'reference', got {self.padding_mode!r}")
+        if self.padding_mode == "reference" and self.sparse:
+            raise ValueError("padding_mode='reference' is dense-only (masked path needs SAME alignment)")
         conv_init = init_normal02  # Minkowski std-.02 convs and dense convs alike
         if self.use_orig_stem:
             self.stem_orig_conv = nn.Conv(
@@ -143,13 +155,17 @@ class ConvNeXtV2(nn.Module):
             )
             self.stem_orig_norm = LayerNorm(self.dims[0], dtype=self.dtype)
         else:
+            ref_pad = self.padding_mode == "reference"
             self.initial_conv_conv = nn.Conv(
-                self.dims[0], (3, 3), padding="SAME", kernel_init=conv_init, dtype=self.dtype,
+                self.dims[0], (3, 3), padding="VALID" if ref_pad else "SAME",
+                kernel_init=conv_init, dtype=self.dtype,
             )
             self.initial_conv_norm = LayerNorm(self.dims[0], dtype=self.dtype)
             s = self.stem_stride
+            # reference stem pads stride//2 on both sides (convnextv2.py:114-124)
+            stem_pad = ((s // 2, s // 2), (s // 2, s // 2)) if ref_pad else "VALID"
             self.stem_conv = nn.Conv(
-                self.dims[0], (s, s), strides=(s, s), padding="VALID",
+                self.dims[0], (s, s), strides=(s, s), padding=stem_pad,
                 feature_group_count=self.dims[0],
                 kernel_init=init_trunc1 if self.sparse else init_normal02,
                 dtype=self.dtype,

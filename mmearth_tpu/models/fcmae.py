@@ -105,6 +105,7 @@ class FCMAE(nn.Module):
     norm_pix_loss: bool = False
     sparse: bool = True
     use_orig_stem: bool = False
+    padding_mode: str = "same"  # "reference" = dense-path parity padding
     loss_aggr: str = "uncertainty"  # or "unweighted"
     loss_full: bool = False
     inp_modalities: Mapping[str, Any] = None
@@ -132,6 +133,7 @@ class FCMAE(nn.Module):
             dims=self.dims,
             sparse=self.sparse,
             use_orig_stem=self.use_orig_stem,
+            padding_mode=self.padding_mode,
             dtype=self.dtype,
         )
         # FCMAE inits every nn.Conv2d with trunc_normal std 1 (fcmae.py:167-169)
@@ -173,9 +175,13 @@ class FCMAE(nn.Module):
             )
 
     # ------------------------------------------------------------------
-    def forward_encoder(self, imgs: jax.Array, mask_ratio: float, deterministic=True):
-        rng = self.make_rng("mask")
-        mask = gen_random_mask(rng, imgs.shape[0], self.num_patches, mask_ratio)
+    def forward_encoder(self, imgs: jax.Array, mask_ratio: float, deterministic=True,
+                        mask: Optional[jax.Array] = None):
+        """``mask`` (N, L), 1 = removed, overrides random generation — used for
+        parity tests against the reference and for visualization."""
+        if mask is None:
+            rng = self.make_rng("mask")
+            mask = gen_random_mask(rng, imgs.shape[0], self.num_patches, mask_ratio)
         x = self.encoder.encode(imgs, mask, deterministic)
         return x, mask
 
@@ -220,6 +226,7 @@ class FCMAE(nn.Module):
         imgs_dict: Mapping[str, jax.Array],
         mask_ratio: Optional[float] = None,
         deterministic: bool = True,
+        mask: Optional[jax.Array] = None,
     ):
         """imgs_dict: cropped NHWC modality dict (crop + NaN-zeroing of the
         continuous pixel modalities happen in the input path, matching
@@ -227,7 +234,7 @@ class FCMAE(nn.Module):
         weighted_losses)."""
         mask_ratio = self.mask_ratio if mask_ratio is None else mask_ratio
         imgs = imgs_dict["sentinel2"].astype(self.dtype)
-        x, mask = self.forward_encoder(imgs, mask_ratio, deterministic)
+        x, mask = self.forward_encoder(imgs, mask_ratio, deterministic, mask=mask)
         preds = self.forward_decoder(x, mask, deterministic)
         loss, loss_dict, log_vars, weighted = self.forward_loss(imgs_dict, preds, mask)
         return loss, preds, mask, loss_dict, log_vars, weighted

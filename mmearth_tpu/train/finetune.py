@@ -61,7 +61,7 @@ def build_finetune_model(cfg: FinetuneConfig, in_channels: int, nb_classes: int)
     )
     if "unet" in cfg.model.model:
         return unet_lib.ConvNeXtV2Unet(**common)
-    return cnx.ConvNeXtV2(**common, sparse=False)
+    return cnx.ConvNeXtV2(**common, sparse=False, padding_mode=cfg.model.padding_mode)
 
 
 def make_finetune_step(model, criterion, is_seg: bool, has_batch_stats: bool = False):

@@ -1,0 +1,321 @@
+"""Golden numerical parity against the reference's *own* torch modules.
+
+Round-1 tests compared against hand-transcribed torch math; these tests import
+`/root/reference/models/{convnextv2,fcmae}.py` (via the stub harness in
+``_reference_oracle``) and assert whole-model forward/loss parity with weights
+converted both directions through ``mmearth_tpu.checkpoints.torch_convert``.
+
+Covers (VERDICT round 1, item 1):
+  * dense ConvNeXtV2 classifier forward at 112-16 with ``padding_mode=
+    "reference"`` (exact reference padding: VALID initial_conv + stride//2
+    stem, reference convnextv2.py:109,114-124);
+  * quantification of the SAME-vs-reference padding deviation;
+  * full FCMAE (dense encoder) forward + multi-pretext loss parity with a
+    fixed mask, torch->flax weight direction;
+  * flax->torch direction: exported state dict strict-loads into the
+    reference FCMAE and reproduces its loss;
+  * ``remap_minkowski_keys`` vs the reference's own ``remap_checkpoint_keys``
+    (helpers.py:668-707) on a fabricated sparse checkpoint.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmearth_tpu.checkpoints import torch_convert as tc
+from mmearth_tpu.configs import modalities as M
+from mmearth_tpu.models import convnextv2 as cnx
+from mmearth_tpu.models import fcmae as fc
+
+from _reference_oracle import load_reference, load_reference_helpers
+
+torch = pytest.importorskip("torch")
+
+DEPTHS, DIMS = (2, 2, 6, 2), (40, 80, 160, 320)
+IMG, PATCH = 112, 16
+
+
+def _to_nhwc(t):
+    return jnp.asarray(t.detach().numpy().transpose(0, 2, 3, 1))
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference()
+
+
+# ---------------------------------------------------------------------------
+# dense classifier
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def dense_pair(ref):
+    """(reference torch model, converted flax params) for the dense classifier."""
+    torch.manual_seed(0)
+    tmodel = ref.convnextv2.ConvNeXtV2(
+        patch_size=PATCH, img_size=IMG, in_chans=12, num_classes=10,
+        depths=list(DEPTHS), dims=list(DIMS),
+    )
+    tmodel.eval()
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = tc.torch_encoder_to_flax(sd, DEPTHS)
+    return tmodel, jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def test_dense_classifier_golden_parity(dense_pair):
+    tmodel, params = dense_pair
+    torch.manual_seed(1)
+    x = torch.randn(2, 12, IMG, IMG)
+    with torch.no_grad():
+        want = tmodel(x).numpy()
+
+    jmodel = cnx.convnextv2_atto(
+        img_size=IMG, patch_size=PATCH, in_chans=12, num_classes=10,
+        padding_mode="reference",
+    )
+    got = np.asarray(jmodel.apply({"params": params}, _to_nhwc(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_dense_masked_forward_golden_parity(dense_pair):
+    """The reference's leaky dense pretraining forward (mask applied to the
+    input only, convnextv2.py:185-203) == our sparse=False encode."""
+    tmodel, params = dense_pair
+    torch.manual_seed(2)
+    x = torch.randn(2, 12, IMG, IMG)
+    L = (IMG // PATCH) ** 2
+    mask_np = (np.random.default_rng(3).random((2, L)) < 0.6).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(x, mask=torch.from_numpy(mask_np)).numpy()  # (N, C, h, w)
+
+    jmodel = cnx.convnextv2_atto(
+        img_size=IMG, patch_size=PATCH, in_chans=12, num_classes=10,
+        padding_mode="reference", sparse=False,
+    )
+    got = np.asarray(
+        jmodel.apply({"params": params}, _to_nhwc(x), mask=jnp.asarray(mask_np))
+    )
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, rtol=2e-4, atol=2e-4)
+
+
+def test_padding_deviation_quantified(dense_pair, capsys):
+    """SAME vs reference padding: same weights, measure the logit deviation.
+
+    Only border pixels differ (the 3x3 initial conv loses its outermost ring
+    under VALID); GAP dilutes the difference. We bound the relative deviation
+    of the pooled features/logits so the linear-probe fidelity risk (VERDICT
+    weak #3) is quantified rather than unknown.
+    """
+    tmodel, params = dense_pair
+    torch.manual_seed(4)
+    x = _to_nhwc(torch.randn(4, 12, IMG, IMG))
+    logits = {}
+    feats = {}
+    for mode in ("reference", "same"):
+        jmodel = cnx.convnextv2_atto(
+            img_size=IMG, patch_size=PATCH, in_chans=12, num_classes=10,
+            padding_mode=mode,
+        )
+        logits[mode] = np.asarray(jmodel.apply({"params": params}, x))
+        feats[mode] = np.asarray(
+            jmodel.apply({"params": params}, x, method=cnx.ConvNeXtV2.forward_features)
+        )
+
+    def rel(a, b):
+        return float(np.linalg.norm(a - b) / np.linalg.norm(b))
+
+    r_feat = rel(feats["same"], feats["reference"])
+    r_logit = rel(logits["same"], logits["reference"])
+    print(f"padding deviation: features {r_feat:.4%}, logits {r_logit:.4%}")
+    # measured ~2-4% on random weights; keep a generous ceiling so a real
+    # regression (e.g. mask-grid misalignment) trips the test
+    assert r_feat < 0.15 and r_logit < 0.15
+
+
+# ---------------------------------------------------------------------------
+# FCMAE forward + loss
+# ---------------------------------------------------------------------------
+def _make_batch(n=2, seed=0):
+    """Synthetic modality dict in torch NCHW layout with the dataset's NaN /
+    -1 conventions (mmearth_dataset.py:88-143)."""
+    rng = np.random.default_rng(seed)
+    out_ch = M.out_channels(M.OUT_MODALITIES)
+    batch = {}
+    for name in ("sentinel2", "sentinel1", "aster", "canopy_height_eth"):
+        a = rng.normal(size=(n, out_ch[name], IMG, IMG)).astype(np.float32)
+        if name != "sentinel2":
+            # NO_DATA -> NaN; kept out of sentinel2 because the reference
+            # forward aliases the *pre*-nan_to_num sentinel2 tensor as the
+            # encoder input (fcmae.py:436-449: `imgs = imgs_dict["sentinel2"]`
+            # binds before the loop rebinds the dict entries), so any NaN in
+            # the input NaNs out the whole reference forward.  Our input path
+            # feeds the zeroed tensor (the code comment's stated intent);
+            # deviation documented in PARITY.md.
+            a[rng.random(a.shape) < 0.05] = np.nan
+        batch[name] = torch.from_numpy(a)
+    for name, hi in (("dynamic_world", 9), ("esa_worldcover", 11)):
+        a = rng.integers(0, hi, size=(n, 1, IMG, IMG)).astype(np.int64)
+        a[rng.random(a.shape) < 0.05] = -1  # NaN labels -> -1
+        batch[name] = torch.from_numpy(a)
+    for name in ("lat", "lon", "month", "era5"):
+        a = rng.normal(size=(n, out_ch[name])).astype(np.float32)
+        if name == "era5":
+            a[0, :3] = np.nan
+        batch[name] = torch.from_numpy(a)
+    batch["biome"] = torch.from_numpy(np.eye(14, dtype=np.int64)[rng.integers(0, 14, n)])
+    batch["eco_region"] = torch.from_numpy(np.eye(846, dtype=np.int64)[rng.integers(0, 846, n)])
+    return batch
+
+
+def _ref_args(ref):
+    from argparse import Namespace
+
+    # main_pretrain.py:175-178 merges INP+OUT into args.modalities
+    merged = dict(M.INP_MODALITIES)
+    merged.update(M.OUT_MODALITIES)
+    return Namespace(
+        modalities=merged,
+        modalities_full=ref.MODALITIES.MODALITIES_FULL,
+        out_modalities=M.OUT_MODALITIES,
+        use_orig_stem=False,
+        loss_aggr="uncertainty",
+    )
+
+
+def _build_ref_fcmae(ref, seed=0):
+    torch.manual_seed(seed)
+    loss_fn = ref.custom_loss.UncertaintyWeightingStrategy(len(M.OUT_MODALITIES))
+    with torch.no_grad():
+        loss_fn.log_vars += torch.randn(len(M.OUT_MODALITIES)) * 0.1
+    model = ref.fcmae.FCMAE(
+        img_size=IMG, patch_size=PATCH, depths=list(DEPTHS), dims=list(DIMS),
+        decoder_depth=1, decoder_embed_dim=512, norm_pix_loss=False,
+        args=_ref_args(ref), loss_fn=loss_fn, sparse=False,
+    )
+    model.eval()
+    return model
+
+
+def _jax_fcmae(padding_mode="reference"):
+    return fc.convnextv2_atto(
+        img_size=IMG, patch_size=PATCH, sparse=False, padding_mode=padding_mode,
+        loss_aggr="uncertainty", decoder_depth=1, decoder_embed_dim=512,
+        inp_modalities=M.INP_MODALITIES, out_modalities=M.OUT_MODALITIES,
+    )
+
+
+def _run_both(ref, tmodel, batch, mask_np):
+    """Run reference + converted flax FCMAE on the same batch/mask."""
+    tmodel.gen_random_mask = lambda x, r: torch.from_numpy(mask_np)
+    tbatch = {k: v.clone() for k, v in batch.items()}
+    with torch.no_grad():
+        tloss, tpred, _, tloss_dict, _, _ = tmodel(tbatch, mask_ratio=0.6)
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    sd["loss_fn.log_vars"] = tmodel.loss_fn.log_vars.detach().numpy()
+    params = tc.torch_fcmae_to_flax(sd, DEPTHS, M.OUT_MODALITIES)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    jbatch = {}
+    for k, v in batch.items():
+        a = v.numpy()
+        jbatch[k] = jnp.asarray(a.transpose(0, 2, 3, 1) if a.ndim == 4 else a)
+    jbatch = fc.zero_nan_inputs(jbatch)  # fcmae.py:445-449 equivalent
+    jmodel = _jax_fcmae()
+    jloss, jpred, _, jloss_dict, _, _ = jmodel.apply(
+        {"params": params}, jbatch, mask=jnp.asarray(mask_np)
+    )
+    return (tloss, tpred, tloss_dict), (jloss, jpred, jloss_dict)
+
+
+def test_fcmae_dense_golden_parity(ref):
+    tmodel = _build_ref_fcmae(ref)
+    batch = _make_batch()
+    L = (IMG // PATCH) ** 2
+    mask_np = (np.random.default_rng(7).random((2, L)) < 0.6).astype(np.float32)
+    (tloss, tpred, tld), (jloss, jpred, jld) = _run_both(ref, tmodel, batch, mask_np)
+
+    for name in M.OUT_MODALITIES:
+        np.testing.assert_allclose(
+            float(jld[name]), float(tld[name]), rtol=5e-4, atol=5e-5,
+            err_msg=f"loss[{name}]",
+        )
+    np.testing.assert_allclose(float(jloss), float(tloss), rtol=5e-4)
+
+    # prediction tensors: pixel preds are (N, L, p^2 C) vs torch (N, p^2 C, h, w)
+    for name in M.OUT_MODALITIES:
+        want = tpred[name].numpy()
+        got = np.asarray(jpred[name])
+        if want.ndim == 4:
+            n, c, h, w = want.shape
+            want = want.reshape(n, c, h * w).transpose(0, 2, 1)
+        # atol scaled to the tensor's dynamic range: near-zero elements of
+        # O(1e4)-magnitude preds carry fp32 accumulation noise
+        scale = float(np.abs(want).max())
+        np.testing.assert_allclose(
+            got, want, rtol=5e-3, atol=max(5e-4, 1e-5 * scale), err_msg=name
+        )
+
+
+def test_flax_to_torch_loads_into_reference_fcmae(ref):
+    """Reverse direction: a flax-initialized FCMAE exports to a state dict the
+    reference model strict-loads, and both compute the same loss."""
+    jmodel = _jax_fcmae()
+    batch = _make_batch(seed=11)
+    jbatch = {}
+    for k, v in batch.items():
+        a = v.numpy()
+        jbatch[k] = jnp.asarray(a.transpose(0, 2, 3, 1) if a.ndim == 4 else a)
+    jbatch = fc.zero_nan_inputs(jbatch)
+    params = jmodel.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}, jbatch
+    )["params"]
+
+    sd = tc.flax_fcmae_to_torch(params, DEPTHS, M.OUT_MODALITIES, dims=DIMS)
+    tmodel = _build_ref_fcmae(ref, seed=42)
+    missing, unexpected = tmodel.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, strict=True
+    )
+    assert not missing and not unexpected
+
+    L = (IMG // PATCH) ** 2
+    mask_np = (np.random.default_rng(13).random((2, L)) < 0.6).astype(np.float32)
+    tmodel.gen_random_mask = lambda x, r: torch.from_numpy(mask_np)
+    with torch.no_grad():
+        tloss, *_ = tmodel({k: v.clone() for k, v in batch.items()}, mask_ratio=0.6)
+    jloss, *_ = jmodel.apply({"params": params}, jbatch, mask=jnp.asarray(mask_np))
+    np.testing.assert_allclose(float(jloss), float(tloss), rtol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint surgery vs the reference's own remap
+# ---------------------------------------------------------------------------
+def test_remap_golden_vs_reference_helpers():
+    """Fabricated Minkowski sparse checkpoint through both remap functions."""
+    helpers = load_reference_helpers()
+    rng = np.random.default_rng(5)
+    sd = {
+        # standard conv (K^2, in, out) + 2D bias
+        "encoder.downsample_layers.0.1.kernel": rng.normal(size=(4, 40, 80)).astype(np.float32),
+        "encoder.downsample_layers.0.1.bias": rng.normal(size=(1, 80)).astype(np.float32),
+        # depthwise (K^2, C)
+        "encoder.stages.0.0.dwconv.kernel": rng.normal(size=(49, 40)).astype(np.float32),
+        "encoder.stages.0.0.dwconv.bias": rng.normal(size=(1, 40)).astype(np.float32),
+        # Minkowski LN / Linear path segments
+        "encoder.stages.0.0.norm.ln.weight": rng.normal(size=(40,)).astype(np.float32),
+        "encoder.stages.0.0.norm.ln.bias": rng.normal(size=(40,)).astype(np.float32),
+        "encoder.stages.0.0.pwconv1.linear.weight": rng.normal(size=(160, 40)).astype(np.float32),
+        "encoder.stages.0.0.pwconv1.linear.bias": rng.normal(size=(160,)).astype(np.float32),
+        # GRN affine
+        "encoder.stages.0.0.grn.gamma": rng.normal(size=(1, 160)).astype(np.float32),
+        "encoder.stages.0.0.grn.beta": rng.normal(size=(1, 160)).astype(np.float32),
+        # passthrough decoder key
+        "mask_token": rng.normal(size=(1, 512, 1, 1)).astype(np.float32),
+    }
+    want = helpers.remap_checkpoint_keys(
+        {k: torch.from_numpy(v.copy()) for k, v in sd.items()}
+    )
+    got = tc.remap_minkowski_keys({k: v.copy() for k, v in sd.items()})
+    assert set(got) == set(want), set(got) ^ set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k].numpy(), err_msg=k, atol=0)
