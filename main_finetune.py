@@ -49,6 +49,9 @@ def get_args_parser():
     p.add_argument("--smoothing", type=float, default=0.2)
 
     p.add_argument("--finetune", default="", help="pretrain checkpoint (.pth or orbax)")
+    p.add_argument("--use_imnet_weights", type=str2bool, default=False,
+                   help="finetune ckpt holds imagenet RGB weights: swap bgr "
+                        "geobench bands to rgb (engine_finetune.py:92-95)")
     p.add_argument("--linear_probe", type=str2bool, default=False)
     p.add_argument("--data_set", default="m-eurosat", choices=GEO_BENCH_DATASETS)
     p.add_argument("--partition", default="default", type=str,
@@ -74,12 +77,17 @@ def get_args_parser():
     p.add_argument("--wandb_project", type=str, default="global-lr")
     p.add_argument("--wandb_run_name", type=str, default=None)
 
-    # reference-compat no-ops (EMA/mixup/DDP/torch plumbing)
-    for flag in ["--model_ema", "--model_ema_eval", "--model_ema_force_cpu",
+    # model EMA (reference main_finetune.py:96-101)
+    p.add_argument("--model_ema", type=str2bool, default=False)
+    p.add_argument("--model_ema_decay", type=float, default=0.9999)
+    p.add_argument("--model_ema_eval", type=str2bool, default=False,
+                   help="evaluate with the EMA weights")
+
+    # reference-compat no-ops (mixup/DDP/torch plumbing)
+    for flag in ["--model_ema_force_cpu",
                  "--dist_on_itp", "--distributed", "--no_ffcv", "--use_mixed",
                  "--baseline", "--pretraining"]:
         p.add_argument(flag, type=str2bool, default=False)
-    p.add_argument("--model_ema_decay", type=float, default=0.9999)
     p.add_argument("--device", default="tpu")
     p.add_argument("--model_prefix", default="")
     p.add_argument("--crop_pct", type=float, default=None)
@@ -112,9 +120,12 @@ def config_from_args(args) -> FinetuneConfig:
         data_set=args.data_set, partition=args.partition,
         geobench_bands_type=args.geobench_bands_type, processed_dir=args.processed_dir,
         nb_classes=args.nb_classes or 0, finetune=args.finetune,
+        use_imnet_weights=args.use_imnet_weights,
         linear_probe=args.linear_probe, smoothing=args.smoothing,
         drop_path=args.drop_path, head_init_scale=args.head_init_scale,
         batch_size=args.batch_size, num_workers=args.num_workers,
+        model_ema=args.model_ema, model_ema_decay=args.model_ema_decay,
+        model_ema_eval=args.model_ema_eval,
     )
 
 

@@ -63,6 +63,10 @@ def get_args_parser():
                    help="bf16 compute policy (TPU-native replacement for --use_mixed)")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="chain k optimizer steps per device dispatch (hides dispatch latency)")
+    p.add_argument("--grn_scope", choices=["global", "per_device"], default="global",
+                   help="MaskedGRN statistic scope: per_device reproduces the "
+                        "reference's per-GPU DDP stats and avoids per-block "
+                        "cross-chip all-reduces")
 
     # accepted for reference compatibility; no-ops on TPU
     for flag, default in [
@@ -85,6 +89,7 @@ def config_from_args(args) -> PretrainConfig:
             mask_ratio=args.mask_ratio, decoder_depth=args.decoder_depth,
             decoder_embed_dim=args.decoder_embed_dim, norm_pix_loss=args.norm_pix_loss,
             use_orig_stem=args.use_orig_stem, sparse=args.sparse,
+            grn_scope=args.grn_scope,
         ),
         optim=OptimConfig(
             blr=args.blr, lr=args.lr, min_lr=args.min_lr, weight_decay=args.weight_decay,

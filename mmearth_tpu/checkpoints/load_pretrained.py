@@ -84,11 +84,13 @@ def load_encoder_into(params: dict, encoder_tree: dict, where: str = "") -> dict
 
 
 def reinit_head(params: dict, seed: int = 0) -> dict:
-    """Head re-init for finetune/probe (helpers.py:857-867, 993-1000)."""
-    if "head" in params:
-        k = params["head"]["kernel"]
-        params["head"]["kernel"] = _head_reinit(seed, k.shape)
-        params["head"]["bias"] = np.zeros_like(params["head"]["bias"])
+    """Head re-init for finetune/probe (helpers.py:857-867, 993-1000);
+    ``fc`` is the resnet baselines' head name (helpers.py:860-867)."""
+    for name in ("head", "fc"):
+        if name in params:
+            k = params[name]["kernel"]
+            params[name]["kernel"] = _head_reinit(seed, k.shape)
+            params[name]["bias"] = np.zeros_like(params[name]["bias"])
     return params
 
 

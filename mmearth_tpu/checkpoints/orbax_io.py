@@ -14,6 +14,23 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def _state_payload(state: Any) -> dict:
+    payload = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    if getattr(state, "model_state", None):
+        payload["model_state"] = state.model_state
+    if getattr(state, "ema_params", None) is not None:
+        payload["ema_params"] = state.ema_params
+    return payload
+
+
+def _state_from_payload(state: Any, restored: dict) -> Any:
+    return state.replace(
+        params=restored["params"], opt_state=restored["opt_state"], step=restored["step"],
+        model_state=restored.get("model_state", state.model_state),
+        ema_params=restored.get("ema_params", getattr(state, "ema_params", None)),
+    )
+
+
 class CheckpointIO:
     def __init__(self, output_dir: str | Path, max_to_keep: int = 3, save_interval: int = 1):
         self.directory = Path(output_dir).absolute() / "checkpoints"
@@ -27,9 +44,7 @@ class CheckpointIO:
         )
 
     def save(self, epoch: int, state: Any, extra: dict | None = None):
-        payload = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
-        if getattr(state, "model_state", None):
-            payload["model_state"] = state.model_state
+        payload = _state_payload(state)
         if extra:
             payload["extra"] = extra
         self.manager.save(epoch, args=ocp.args.StandardSave(payload))
@@ -46,15 +61,40 @@ class CheckpointIO:
         epoch = self.latest_epoch() if epoch is None else epoch
         if epoch is None:
             return state, None
-        target = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
-        if getattr(state, "model_state", None):
-            target["model_state"] = state.model_state
-        restored = self.manager.restore(epoch, args=ocp.args.StandardRestore(target))
-        state = state.replace(
-            params=restored["params"], opt_state=restored["opt_state"], step=restored["step"],
-            model_state=restored.get("model_state", state.model_state),
+        restored = self.manager.restore(
+            epoch, args=ocp.args.StandardRestore(_state_payload(state))
         )
-        return state, epoch
+        return _state_from_payload(state, restored), epoch
+
+
+def restore_explicit(state: Any, path: str | Path):
+    """Honor an explicit ``--resume <path>`` (reference helpers.py:568-610
+    loads ``args.resume`` when set, bypassing the auto-resume glob).
+
+    ``path`` may be: a run output dir (containing ``checkpoints/``), a
+    ``checkpoints`` root, or a specific epoch dir ``checkpoints/<N>``.
+    Returns (state, epoch).  ``.pth`` resume is format-specific and handled by
+    the drivers (params only, via torch_convert).
+    """
+    p = Path(path).absolute()
+    if not p.exists():
+        raise FileNotFoundError(f"--resume path does not exist: {p}")
+    epoch = None
+    if p.name.isdigit() and (p / "default").exists():  # CheckpointManager epoch dir
+        epoch = int(p.name)
+        root = p.parent
+    elif (p / "checkpoints").is_dir():
+        root = p / "checkpoints"
+    else:
+        root = p
+    manager = ocp.CheckpointManager(root)
+    epoch = manager.latest_step() if epoch is None else epoch
+    if epoch is None:
+        raise FileNotFoundError(f"no checkpoints found under {root}")
+    restored = manager.restore(epoch, args=ocp.args.StandardRestore(_state_payload(state)))
+    state = _state_from_payload(state, restored)
+    manager.close()
+    return state, epoch
 
 
 def save_params(path: str | Path, params: Any):

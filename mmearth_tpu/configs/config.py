@@ -58,6 +58,11 @@ class ModelConfig:
     # between the two on identical weights: ~10% relative feature norm (see
     # tests/test_reference_parity.py::test_padding_deviation_quantified).
     padding_mode: str = "same"
+    # MaskedGRN statistic scope during sparse pretraining: "global" computes
+    # the L2 over the full (cross-device) batch; "per_device" over each
+    # device's batch only — the reference's DDP behavior (each MinkowskiGRN
+    # sees one GPU's batch) and cheaper on a mesh (no per-block all-reduce).
+    grn_scope: str = "global"
     drop_path_rate: float = 0.0
 
     @property
@@ -160,6 +165,9 @@ class FinetuneConfig:
     nb_classes: int = 10
     in_channels: int = 12
     finetune: str = ""  # path to pretrain checkpoint
+    # imnet-pretrained baseline weights: swap bgr geobench bands to rgb in the
+    # step (reference --use_imnet_weights + engine_finetune.py:92-95)
+    use_imnet_weights: bool = False
     linear_probe: bool = False
     smoothing: float = 0.2
     drop_path: float = 0.1
@@ -168,3 +176,8 @@ class FinetuneConfig:
     num_workers: int = 10
     # segmentation staged unfreeze (reference main_finetune.py:598-619)
     unfreeze_epoch: int = 50
+    # model EMA (reference --model_ema / --model_ema_decay / --model_ema_eval,
+    # main_finetune.py:96-101; defined but unused by the published recipes)
+    model_ema: bool = False
+    model_ema_decay: float = 0.9999
+    model_ema_eval: bool = False

@@ -153,7 +153,8 @@ class GeobenchSource:
         return {"input": x, "label": np.asarray(label), "mean": self.mean, "std": self.std, "id": str(idx)}
 
 
-def generate_synthetic_geobench(out_dir: Path | str, dataset_name: str, n_per_split=(16, 8, 8), seed=0):
+def generate_synthetic_geobench(out_dir: Path | str, dataset_name: str, n_per_split=(16, 8, 8),
+                                seed=0, n_channels=12):
     """Synthetic packed GEO-Bench splits for tests/benchmarks (no download)."""
     out_dir = Path(out_dir)
     rng = np.random.default_rng(seed)
@@ -161,7 +162,7 @@ def generate_synthetic_geobench(out_dir: Path | str, dataset_name: str, n_per_sp
     size = min(IMG_SIZE[dataset_name], 64)
     paths = {}
     for split, n in zip(("train", "val", "test"), n_per_split):
-        x = rng.normal(size=(n, size, size, 12)).astype(np.float32)
+        x = rng.normal(size=(n, size, size, n_channels)).astype(np.float32)
         if TASK_CLASS[dataset_name] == "multi_label_classification":
             label = (rng.random((n, ncls)) < 0.2).astype(np.int64)
         elif TASK_CLASS[dataset_name] == "segmentation":
@@ -225,6 +226,7 @@ def get_geobench_dataloaders(
             PackedLoader(
                 ds, batch_size_per_device, shuffle=is_train, drop_last=is_train,
                 seed=seed, shard=shard if is_train else (0, 1),
+                num_workers=num_workers,
             )
         )
     return loaders, make_task_dict(dataset_name, class_names)

@@ -34,8 +34,11 @@ class PackedDataset:
     def __len__(self):
         return self.count
 
-    def gather(self, rows: np.ndarray) -> dict[str, np.ndarray]:
-        return {name: native.gather_rows(arr, rows) for name, arr in self.arrays.items()}
+    def gather(self, rows: np.ndarray, n_threads: int = 0) -> dict[str, np.ndarray]:
+        return {
+            name: native.gather_rows(arr, rows, n_threads=n_threads)
+            for name, arr in self.arrays.items()
+        }
 
     def prefetch(self, rows: np.ndarray) -> None:
         """Hint the OS to page in an upcoming batch's rows."""
@@ -46,10 +49,14 @@ class PackedDataset:
 class PackedLoader:
     """Iterable over batches of numpy dicts.
 
-    Parameters mirror the reference loader: ``shuffle`` for RANDOM vs
-    SEQUENTIAL order, ``drop_last`` for training.  ``shard=(index, count)``
-    statically splits samples across hosts.  ``num_epochs=None`` iterates one
-    epoch per ``__iter__`` call.
+    Parameters mirror the reference loader: ``order`` is the FFCV OrderOption
+    (reference mmearth_dataset.py:306-310) — ``random`` a full permutation,
+    ``quasi_random`` a locality-aware shuffle (chunks of ``chunk_size``
+    consecutive rows are shuffled within windows of ``window_chunks`` chunks,
+    bounding how far reads stray from sequential once the pack exceeds the
+    page cache), ``sequential`` no shuffle.  ``shuffle`` is the boolean
+    shorthand (True == random).  ``drop_last`` for training;
+    ``shard=(index, count)`` statically splits samples across hosts.
     """
 
     def __init__(
@@ -62,9 +69,21 @@ class PackedLoader:
         shard: tuple[int, int] = (0, 1),
         indices: Sequence[int] | None = None,
         prefetch: int = 2,
+        num_workers: int = 0,
+        order: str | None = None,
+        chunk_size: int = 128,
+        window_chunks: int = 16,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
+        if order is None:
+            order = "random" if shuffle else "sequential"
+        if order not in ("random", "quasi_random", "sequential"):
+            raise ValueError(f"unknown order {order!r}")
+        self.order = order
+        shuffle = order != "sequential"
+        self.chunk_size = chunk_size
+        self.window_chunks = window_chunks
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
@@ -73,6 +92,9 @@ class PackedLoader:
             np.arange(dataset.count) if indices is None else np.asarray(indices)
         )
         self.prefetch = prefetch
+        # reference --num_workers (DataLoader forks / FFCV threads): here the
+        # thread count of the native row-gather core (0 = auto)
+        self.num_workers = num_workers
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -80,11 +102,26 @@ class PackedLoader:
         main_pretrain.py:337-338)."""
         self.epoch = epoch
 
+    def _quasi_random_permutation(self, idx: np.ndarray, rng) -> np.ndarray:
+        """Locality-aware shuffle: split ``idx`` (in storage order) into
+        contiguous windows of chunk_size*window_chunks rows, shuffle the
+        window order, and shuffle samples within each window.  Every sample
+        appears exactly once and any run of window-sized reads touches one
+        contiguous storage span — sequential-ish IO once the pack exceeds the
+        page cache, unlike a full permutation."""
+        ws = max(self.chunk_size, 1) * max(self.window_chunks, 1)
+        n_windows = -(-len(idx) // ws)
+        out = [rng.permutation(idx[w * ws : (w + 1) * ws]) for w in rng.permutation(n_windows)]
+        return np.concatenate(out)
+
     def _epoch_batches(self) -> list[np.ndarray]:
         idx = self.base_indices
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
-            idx = rng.permutation(idx)
+            if self.order == "quasi_random":
+                idx = self._quasi_random_permutation(idx, rng)
+            else:
+                idx = rng.permutation(idx)
         rank, world = self.shard
         idx = idx[rank::world]
         n_batches = len(idx) // self.batch_size
@@ -102,7 +139,7 @@ class PackedLoader:
         batches = self._epoch_batches()
         if self.prefetch <= 0:
             for rows in batches:
-                yield self.dataset.gather(np.sort(rows))
+                yield self.dataset.gather(np.sort(rows), self.num_workers)
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -115,7 +152,7 @@ class PackedLoader:
                 if bi + 1 < len(batches):
                     self.dataset.prefetch(np.sort(batches[bi + 1]))
                 # sorted gather = sequential-ish reads from the memmap
-                q.put(self.dataset.gather(np.sort(rows)))
+                q.put(self.dataset.gather(np.sort(rows), self.num_workers))
             q.put(None)
 
         t = threading.Thread(target=worker, daemon=True)

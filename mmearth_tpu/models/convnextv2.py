@@ -97,6 +97,7 @@ class Block(nn.Module):
     # nn.Conv2d std .02 in the classifier, std 1 inside FCMAE).
     dw_init: Optional[Any] = None
     pw_init: Optional[Any] = None
+    grn_group: int = 0  # MaskedGRN stats scope (0 = global batch)
 
     @nn.compact
     def __call__(self, x, keep=None, deterministic: bool = True):
@@ -111,7 +112,7 @@ class Block(nn.Module):
         x = nn.Dense(4 * self.dim, kernel_init=pw_init, dtype=self.dtype, name="pwconv1")(x)
         x = gelu(x)
         if keep is not None and self.sparse:
-            x = MaskedGRN(4 * self.dim, dtype=self.dtype, name="grn")(x, keep)
+            x = MaskedGRN(4 * self.dim, dtype=self.dtype, group=self.grn_group, name="grn")(x, keep)
         else:
             x = GRN(4 * self.dim, dtype=self.dtype, name="grn")(x)
         x = nn.Dense(self.dim, kernel_init=pw_init, dtype=self.dtype, name="pwconv2")(x)
@@ -135,6 +136,7 @@ class ConvNeXtV2(nn.Module):
     use_orig_stem: bool = False
     sparse: bool = False
     padding_mode: str = "same"  # "same" | "reference" (see module docstring)
+    grn_group: int = 0  # MaskedGRN stats scope (0 = global batch)
     dtype: Dtype = jnp.float32
 
     @property
@@ -186,7 +188,8 @@ class ConvNeXtV2(nn.Module):
         cur = 0
         for i, depth in enumerate(self.depths):
             stages.append([
-                Block(self.dims[i], drop_path=dp_rates[cur + j], sparse=self.sparse, dtype=self.dtype)
+                Block(self.dims[i], drop_path=dp_rates[cur + j], sparse=self.sparse,
+                      grn_group=self.grn_group, dtype=self.dtype)
                 for j in range(depth)
             ])
             cur += depth

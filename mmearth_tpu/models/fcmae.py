@@ -106,6 +106,8 @@ class FCMAE(nn.Module):
     sparse: bool = True
     use_orig_stem: bool = False
     padding_mode: str = "same"  # "reference" = dense-path parity padding
+    grn_group: int = 0  # MaskedGRN batch scope (0 = global; per-device batch
+    #                     reproduces reference per-GPU DDP stats, see norm.py)
     loss_aggr: str = "uncertainty"  # or "unweighted"
     loss_full: bool = False
     inp_modalities: Mapping[str, Any] = None
@@ -134,6 +136,7 @@ class FCMAE(nn.Module):
             sparse=self.sparse,
             use_orig_stem=self.use_orig_stem,
             padding_mode=self.padding_mode,
+            grn_group=self.grn_group,
             dtype=self.dtype,
         )
         # FCMAE inits every nn.Conv2d with trunc_normal std 1 (fcmae.py:167-169)

@@ -56,17 +56,25 @@ class GRN(nn.Module):
 
 
 class MaskedGRN(nn.Module):
-    """Sparse-equivalent GRN: batch-global L2 over unmasked sites, eps 1e-6.
+    """Sparse-equivalent GRN: batch L2 over unmasked sites, eps 1e-6.
 
     ``keep`` is an (N,H,W,1) float mask with 1 at visible (active) sites.  The
     statistic Gx[c] = ||x[:, :, :, c] restricted to active sites||_2 matches
     MinkowskiGRN's ``torch.norm(x.F, p=2, dim=0)`` where x.F stacks the active
-    sites of the whole batch.  Output values at masked sites are *not* zeroed
-    here; the caller re-masks once at the end of each block.
+    sites of the batch.  Output values at masked sites are *not* zeroed here;
+    the caller re-masks once at the end of each block.
+
+    ``group``: the batch scope of the statistic.  0 = the whole (global)
+    batch.  >0 = independent stats per consecutive group of ``group`` samples;
+    set to the per-device batch to (a) reproduce the reference's DDP
+    semantics, where each MinkowskiGRN sees only its GPU's batch
+    (sparse_norm_layers.py:28-33 under DDP), and (b) keep the reduction local
+    to each device under data sharding — no cross-chip all-reduce per block.
     """
 
     dim: int
     dtype: jnp.dtype = jnp.float32
+    group: int = 0
 
     @nn.compact
     def __call__(self, x, keep):
@@ -74,7 +82,11 @@ class MaskedGRN(nn.Module):
         beta = self.param("beta", nn.initializers.zeros, (self.dim,), jnp.float32)
         xf = x.astype(jnp.float32)
         masked = xf * keep.astype(jnp.float32)
-        gx = jnp.sqrt(jnp.sum(jnp.square(masked), axis=(0, 1, 2), keepdims=True))  # (1,1,1,C)
+        n = xf.shape[0]
+        g = n if self.group <= 0 or n % self.group else min(self.group, n)
+        xg = xf.reshape(n // g, g, *xf.shape[1:])
+        mg = masked.reshape(n // g, g, *masked.shape[1:])
+        gx = jnp.sqrt(jnp.sum(jnp.square(mg), axis=(1, 2, 3), keepdims=True))  # (n/g,1,1,1,C)
         nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
-        y = gamma * (xf * nx) + beta + xf
-        return y.astype(self.dtype)
+        y = gamma * (xg * nx) + beta + xg
+        return y.reshape(xf.shape).astype(self.dtype)

@@ -39,17 +39,18 @@ def create_mesh(data: int | None = None, model: int = 1, devices=None) -> Mesh:
     return Mesh(devices.reshape(data, model), axis_names=("data", "model"))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) axis over 'data'."""
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    """Batch axis (``axis``) over 'data'; leading axes replicated.  axis=1 is
+    the stacked k-batch layout of chained dispatch: (k, B, ...) with B split."""
+    return NamedSharding(mesh, P(*([None] * axis + ["data"])))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Mapping, mesh: Mesh):
-    """Device-put a host batch with the leading axis split over 'data'.
+def shard_batch(batch: Mapping, mesh: Mesh, axis: int = 0):
+    """Device-put a host batch with the batch axis split over 'data'.
 
     On a single-device mesh this skips the NamedSharding placement entirely:
     committed GSPMD shardings trigger a drastically slower compilation path on
@@ -58,7 +59,7 @@ def shard_batch(batch: Mapping, mesh: Mesh):
         import jax.numpy as jnp
 
         return {k: jnp.asarray(v) for k, v in batch.items()}
-    sh = batch_sharding(mesh)
+    sh = batch_sharding(mesh, axis)
     if jax.process_count() > 1:
         # each host holds its shard of the global batch
         return jax.tree_util.tree_map(

@@ -41,7 +41,11 @@ def build_finetune_model(cfg: FinetuneConfig, in_channels: int, nb_classes: int)
     if cfg.model.model.startswith("resnet"):
         from ..models import resnet as resnet_lib
 
-        builder = {"resnet18": resnet_lib.resnet18, "resnet50": resnet_lib.resnet50}[cfg.model.model]
+        builder = {
+            "resnet18": resnet_lib.resnet18, "resnet50": resnet_lib.resnet50,
+            # smp.Unet ResNet-encoder seg baselines (main_finetune.py:480-489)
+            "resnet18_unet": resnet_lib.resnet18_unet, "resnet50_unet": resnet_lib.resnet50_unet,
+        }[cfg.model.model]
         return builder(
             num_classes=nb_classes, in_chans=in_channels,
             dtype=jnp.bfloat16 if cfg.run.use_bf16 else jnp.float32,
@@ -64,10 +68,17 @@ def build_finetune_model(cfg: FinetuneConfig, in_channels: int, nb_classes: int)
     return cnx.ConvNeXtV2(**common, sparse=False, padding_mode=cfg.model.padding_mode)
 
 
-def make_finetune_step(model, criterion, is_seg: bool, has_batch_stats: bool = False):
+def make_finetune_step(model, criterion, is_seg: bool, has_batch_stats: bool = False,
+                       bgr_to_rgb: bool = False, ema_decay: float | None = None):
+    from .ema import update_ema
+
     def step(state: TrainState, batch, rng):
         x = batch["input"]
         y = batch["label"]
+        if bgr_to_rgb:
+            # imnet-pretrained weights expect RGB; geobench bgr bands are
+            # reordered per batch (reference engine_finetune.py:92-95)
+            x = x[..., [2, 1, 0]]
 
         if has_batch_stats:
             def loss_fn(params):
@@ -89,18 +100,26 @@ def make_finetune_step(model, criterion, is_seg: bool, has_batch_stats: bool = F
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             new_state = state.apply_gradients(grads)
+        if ema_decay is not None:
+            # model EMA (reference --model_ema, main_finetune.py:96-101)
+            new_state = new_state.replace(
+                ema_params=update_ema(new_state.ema_params, new_state.params, ema_decay)
+            )
         return new_state, {"loss": loss}
 
     return step
 
 
-def make_eval_step(model, stats_fn, has_batch_stats: bool = False):
+def make_eval_step(model, stats_fn, has_batch_stats: bool = False, bgr_to_rgb: bool = False):
     def eval_step(params, batch, model_state=None):
         variables = {"params": params, **(model_state or {})}
+        x = batch["input"]
+        if bgr_to_rgb:
+            x = x[..., [2, 1, 0]]
         if has_batch_stats:
-            logits = model.apply(variables, batch["input"], train=False)
+            logits = model.apply(variables, x, train=False)
         else:
-            logits = model.apply(variables, batch["input"])
+            logits = model.apply(variables, x)
         return stats_fn(logits.astype(jnp.float32), batch["label"])
 
     return eval_step
@@ -141,6 +160,7 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
     nb_classes = task.num_classes if task is not None else NUM_CLASSES[cfg.data_set]
 
     is_resnet = cfg.model.model.startswith("resnet")
+    is_resnet_unet = is_resnet and "unet" in cfg.model.model
     model = build_finetune_model(cfg, in_channels, nb_classes)
     variables = jax.jit(model.init)(jax.random.PRNGKey(cfg.run.seed), jnp.asarray(sample["input"][:2]))
     params = variables["params"]
@@ -153,8 +173,28 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
         params = lp.load_encoder_into(params, enc)
         params = lp.reinit_head(params, cfg.run.seed)
         params = jax.tree_util.tree_map(jnp.asarray, params)
+    elif cfg.finetune and is_resnet:
+        # seco/gassl/satlas/imagenet baselines (helpers.py:824-933)
+        from ..checkpoints.foreign import load_foreign_resnet
+        from ..models.resnet import resnet_spec
+
+        stage_sizes, bottleneck = resnet_spec(cfg.model.model)
+        fparams, fstats = load_foreign_resnet(cfg.finetune, stage_sizes, bottleneck)
+        fparams.pop("fc", None)
+        if is_resnet_unet:
+            params = lp.load_encoder_into(params, fparams, where="encoder")
+            stats = lp.load_encoder_into(model_state["batch_stats"], fstats, where="encoder")
+        else:
+            params = lp.load_encoder_into(params, fparams)
+            stats = lp.load_encoder_into(model_state["batch_stats"], fstats)
+            params = lp.reinit_head(params, cfg.run.seed)  # fc re-init std 2e-5
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        model_state = {"batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)}
     if cfg.linear_probe:
-        if is_resnet:
+        if is_resnet_unet:
+            # freeze encoder, train decoder + segmentation head (helpers.py:957-966)
+            trainable = lambda path: not path.startswith("encoder")
+        elif is_resnet:
             trainable = lambda path: path.startswith("fc")  # helpers.py:968-983
         elif "unet" in cfg.model.model:
             trainable = lp.unet_probe_trainable
@@ -176,20 +216,34 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
             params, schedule, cfg.optim.weight_decay, cfg.optim.betas,
             cfg.optim.layer_decay, cfg.optim.layer_decay_type, depths,
             trainable_mask=mask, update_freq=cfg.optim.update_freq,
+            clip_grad=cfg.optim.clip_grad,
         )
 
-    state = TrainState.create(params, build_tx(trainable), model_state=model_state)
+    ema_decay = cfg.model_ema_decay if cfg.model_ema else None
+    state = TrainState.create(
+        params, build_tx(trainable), model_state=model_state,
+        ema_params=jax.tree_util.tree_map(jnp.asarray, params) if cfg.model_ema else None,
+    )
     criterion = criterion_fn(cfg.data_set, cfg.smoothing)
     stats_fn = batch_stats_fn(cfg.data_set, nb_classes)
     metric_name, metric = metric_for(cfg.data_set, nb_classes)
 
-    step_fn = jax.jit(make_finetune_step(model, criterion, is_seg, is_resnet), donate_argnums=(0,))
-    eval_fn = jax.jit(make_eval_step(model, stats_fn, is_resnet))
+    bgr_to_rgb = cfg.use_imnet_weights and cfg.geobench_bands_type == "bgr"
+    step_fn = jax.jit(make_finetune_step(model, criterion, is_seg, is_resnet, bgr_to_rgb, ema_decay), donate_argnums=(0,))
+    eval_fn = jax.jit(make_eval_step(model, stats_fn, is_resnet, bgr_to_rgb))
     rng = jax.random.PRNGKey(cfg.run.seed)
 
     ckpt = CheckpointIO(cfg.run.output_dir, cfg.run.save_ckpt_num) if (cfg.run.output_dir and cfg.run.save_ckpt) else None
     start_epoch = cfg.run.start_epoch
-    if ckpt is not None and cfg.run.auto_resume:
+    if cfg.run.resume:
+        from ..checkpoints.orbax_io import restore_explicit
+
+        state, resumed = restore_explicit(state, cfg.run.resume)
+        state = mesh_lib.place_state(state, mesh)
+        start_epoch = resumed + 1
+        if is_main:
+            print(f"resumed from {cfg.run.resume} (epoch {resumed})")
+    elif ckpt is not None and cfg.run.auto_resume:
         state, resumed = ckpt.restore(state)
         if resumed is not None:
             state = mesh_lib.place_state(state, mesh)
@@ -206,8 +260,9 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
             unfrozen = True
             if is_main:
                 print(f"epoch {epoch}: unfreezing the full model (main_finetune.py:598-619)")
-            state = TrainState.create(state.params, build_tx(lp.all_trainable), model_state=state.model_state)
-            step_fn = jax.jit(make_finetune_step(model, criterion, is_seg, is_resnet), donate_argnums=(0,))
+            state = TrainState.create(state.params, build_tx(lp.all_trainable),
+                                      model_state=state.model_state, ema_params=state.ema_params)
+            step_fn = jax.jit(make_finetune_step(model, criterion, is_seg, is_resnet, bgr_to_rgb, ema_decay), donate_argnums=(0,))
 
         train_loader.set_epoch(epoch)
         logger = MetricLogger(header=f"Epoch: [{epoch}]")
@@ -221,7 +276,8 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
         if last_metrics is not None:
             logger.update(loss=float(last_metrics["loss"]))
 
-        val_score = evaluate(state.params, val_loader, eval_fn, metric, state.model_state) if val_loader is not None else float("nan")
+        eval_params = state.ema_params if (cfg.model_ema and cfg.model_ema_eval) else state.params
+        val_score = evaluate(eval_params, val_loader, eval_fn, metric, state.model_state) if val_loader is not None else float("nan")
         stats = logger.averages()
         history.append({"epoch": epoch, **stats, f"val_{metric_name}": val_score})
         if is_main:
@@ -232,7 +288,8 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
         if ckpt is not None:
             ckpt.save(epoch, state)
 
-    test_score = evaluate(state.params, test_loader, eval_fn, metric, state.model_state) if test_loader is not None else None
+    test_params = state.ema_params if (cfg.model_ema and cfg.model_ema_eval) else state.params
+    test_score = evaluate(test_params, test_loader, eval_fn, metric, state.model_state) if test_loader is not None else None
     if is_main:
         print(f"final test {metric_name}: {test_score}")
         print(f"best val {metric_name}: {best_val}")

@@ -169,12 +169,19 @@ def make_pretrain_optimizer(
     weight_decay: float = 0.05,
     betas: tuple[float, float] = (0.9, 0.95),
     update_freq: int = 1,
+    clip_grad: float | None = None,
 ) -> optax.GradientTransformation:
-    tx = optax.chain(
+    chain = []
+    if clip_grad is not None:
+        # reference unscale-then-clip order (helpers.py:476-500): clip the raw
+        # gradients by global norm before any adam scaling
+        chain.append(optax.clip_by_global_norm(clip_grad))
+    chain += [
         optax.scale_by_adam(b1=betas[0], b2=betas[1]),
         optax.add_decayed_weights(weight_decay, mask=pretrain_wd_mask(params)),
         optax.scale_by_learning_rate(lr_schedule),
-    )
+    ]
+    tx = optax.chain(*chain)
     if update_freq > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=update_freq)
     return tx
@@ -190,6 +197,7 @@ def make_finetune_optimizer(
     depths: Sequence[int] = (2, 2, 6, 2),
     trainable_mask=None,
     update_freq: int = 1,
+    clip_grad: float | None = None,
 ) -> optax.GradientTransformation:
     wd_mask = finetune_wd_mask(params)
     if trainable_mask is not None:
@@ -197,6 +205,11 @@ def make_finetune_optimizer(
     chain = []
     if trainable_mask is not None:
         chain.append(mask_updates(trainable_mask))
+    if clip_grad is not None:
+        # after mask_updates so frozen leaves contribute 0 to the global norm
+        # (torch computes the norm over requires_grad params only,
+        # helpers.py:476-500 + main_finetune.py:629)
+        chain.append(optax.clip_by_global_norm(clip_grad))
     chain += [
         optax.scale_by_adam(b1=betas[0], b2=betas[1]),
         optax.add_decayed_weights(weight_decay, mask=wd_mask),

@@ -54,6 +54,7 @@ def build_model(cfg: PretrainConfig, dtype=None) -> fcmae_lib.FCMAE:
         norm_pix_loss=cfg.model.norm_pix_loss,
         sparse=cfg.model.sparse,
         use_orig_stem=cfg.model.use_orig_stem,
+        grn_group=cfg.data.batch_size if cfg.model.grn_scope == "per_device" else 0,
         loss_aggr=cfg.run.loss_aggr,
         loss_full=cfg.run.loss_full,
         inp_modalities=cfg.data.inp_modalities,
@@ -76,6 +77,7 @@ def get_dataloader(cfg: PretrainConfig, split: str = "train"):
         drop_last=split == "train",
         seed=cfg.run.seed,
         shard=(jax.process_index(), jax.process_count()),
+        num_workers=cfg.data.num_workers,
     )
     return ds, loader
 
@@ -107,14 +109,42 @@ def run_pretrain(cfg: PretrainConfig):
         print(f"number of params: {n_params} (encoder: {n_params_enc})")
 
     tx = optim_lib.make_pretrain_optimizer(
-        params, schedule, cfg.optim.weight_decay, cfg.optim.betas, cfg.optim.update_freq
+        params, schedule, cfg.optim.weight_decay, cfg.optim.betas, cfg.optim.update_freq,
+        clip_grad=cfg.optim.clip_grad,
     )
     params = mesh_lib.shard_params(params, mesh)
     state = TrainState.create(params, tx)
 
     ckpt = CheckpointIO(cfg.run.output_dir, cfg.run.save_ckpt_num, cfg.run.save_ckpt_freq) if cfg.run.output_dir and cfg.run.save_ckpt else None
     start_epoch = cfg.run.start_epoch
-    if ckpt is not None and cfg.run.auto_resume:
+    if cfg.run.resume:
+        # explicit --resume <path> (reference helpers.py:568-610 honors
+        # args.resume over the auto-resume glob)
+        rp = Path(cfg.run.resume)
+        if rp.suffix in (".pth", ".pt"):
+            # torch checkpoint: params only (optimizer moments don't map);
+            # epoch comes from --start_epoch
+            from ..checkpoints import torch_convert as tc
+
+            sd = tc.load_pth(rp)
+            restored = tc.torch_fcmae_to_flax(
+                sd, cfg.model.depths, cfg.data.out_modalities,
+                cfg.model.decoder_depth, cfg.model.use_orig_stem,
+            )
+            state = state.replace(params=jax.tree_util.tree_map(
+                lambda cur, new: jnp.asarray(new, cur.dtype), state.params, restored
+            ))
+            if is_main:
+                print(f"resumed params from torch checkpoint {rp}")
+        else:
+            from ..checkpoints.orbax_io import restore_explicit
+
+            state, resumed = restore_explicit(state, rp)
+            start_epoch = resumed + 1
+            if is_main:
+                print(f"resumed from {rp} (epoch {resumed})")
+        state = mesh_lib.place_state(state, mesh)
+    elif ckpt is not None and cfg.run.auto_resume:
         state, resumed = ckpt.restore(state)
         if resumed is not None:
             state = mesh_lib.place_state(state, mesh)
@@ -147,7 +177,8 @@ def run_pretrain(cfg: PretrainConfig):
                 batch = mesh_lib.shard_batch(host_batch, mesh)
                 state, metrics = step_fn(state, batch, rng)
             else:
-                batch = {kk: jnp.asarray(v) for kk, v in host_batch.items()}
+                # stacked (k, B, ...) superbatch: shard B (axis 1) over 'data'
+                batch = mesh_lib.shard_batch(host_batch, mesh, axis=1)
                 state, metrics = chained_fn(state, batch, rng)
             # Materialize metrics only at print boundaries: every device->host
             # fetch costs a full dispatch round trip, so per-step fetches

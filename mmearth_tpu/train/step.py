@@ -27,6 +27,8 @@ class TrainState(struct.PyTreeNode):
     # non-gradient model collections (e.g. BatchNorm running stats for the
     # ResNet baselines); empty for the ConvNeXt family
     model_state: Any = None
+    # optional EMA of params (reference --model_ema, main_finetune.py:96-101)
+    ema_params: Any = None
 
     def apply_gradients(self, grads, model_state=...):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
@@ -38,10 +40,10 @@ class TrainState(struct.PyTreeNode):
         )
 
     @classmethod
-    def create(cls, params, tx, model_state=None):
+    def create(cls, params, tx, model_state=None, ema_params=None):
         return cls(
             step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params),
-            tx=tx, model_state=model_state,
+            tx=tx, model_state=model_state, ema_params=ema_params,
         )
 
 
@@ -91,7 +93,11 @@ def make_chained_step(step_fn, k: int):
     def chained(state, batches: Mapping[str, jax.Array], rng):
         def body(st, i):
             batch = jax.tree_util.tree_map(lambda x: x[i], batches)
-            st, metrics = step_fn(st, batch, jax.random.fold_in(rng, i))
+            # pass rng through unchanged: step_fn folds in state.step, which
+            # advances across the scan, so k chained steps consume exactly the
+            # same per-step keys as k separate dispatches (bit-identical
+            # training regardless of steps_per_dispatch)
+            st, metrics = step_fn(st, batch, rng)
             return st, metrics
 
         state, metrics = jax.lax.scan(body, state, jnp.arange(k))

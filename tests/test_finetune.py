@@ -114,6 +114,7 @@ def test_device_stats_equal_host_updates():
         assert abs(host.compute() - dev.compute()) < 1e-9, ds
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dataset", DATASETS)
 def test_finetune_e2e(dataset, tmp_path):
     """Two-epoch finetune on synthetic packed data through the CLI path."""
@@ -143,6 +144,7 @@ def test_finetune_e2e(dataset, tmp_path):
     assert result[name] is not None and 0.0 <= result[name] <= 1.0
 
 
+@pytest.mark.slow
 def test_probe_freezes_encoder(tmp_path):
     """Linear probe must leave every non-head parameter bit-identical."""
     import main_finetune
@@ -181,6 +183,7 @@ def test_probe_freezes_encoder(tmp_path):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6, err_msg=key)
 
 
+@pytest.mark.slow
 def test_resnet_baseline_e2e(tmp_path):
     """ResNet baseline path (reference main_finetune.py:478-501 torchvision
     baselines): trains with BatchNorm state threading."""
@@ -201,6 +204,7 @@ def test_resnet_baseline_e2e(tmp_path):
     assert result["test_Accuracy"] is not None
 
 
+@pytest.mark.slow
 def test_finetune_auto_resume(tmp_path):
     """Auto-resume restores the latest epoch (reference auto_load_model)."""
     import main_finetune

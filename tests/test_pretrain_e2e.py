@@ -64,6 +64,7 @@ def test_pack_and_loader(synth_dir, tmp_path):
     assert not np.array_equal(b["sentinel2"], b2["sentinel2"])
 
 
+@pytest.mark.slow
 def test_pretrain_main_smoke(synth_dir, tmp_path):
     """Two epochs of the real CLI path on CPU (reference pretrain_test.py)."""
     import main_pretrain
@@ -96,7 +97,14 @@ def test_pretrain_main_smoke(synth_dir, tmp_path):
     state2, history2 = main_pretrain.main(args)
     assert len(history2) == 1 and history2[0]["epoch"] == 2
 
+    # explicit --resume <epoch dir> takes precedence over the auto-resume glob
+    args.epochs = 4
+    args.resume = str(tmp_path / "out" / "checkpoints" / "2")
+    state3, history3 = main_pretrain.main(args)
+    assert len(history3) == 1 and history3[0]["epoch"] == 3
 
+
+@pytest.mark.slow
 def test_pretrain_chained_dispatch(synth_dir, tmp_path):
     """--steps_per_dispatch chains k steps per device dispatch."""
     import main_pretrain

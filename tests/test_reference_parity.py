@@ -30,6 +30,8 @@ from mmearth_tpu.models import fcmae as fc
 
 from _reference_oracle import load_reference, load_reference_helpers
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 DEPTHS, DIMS = (2, 2, 6, 2), (40, 80, 160, 320)
