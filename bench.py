@@ -72,14 +72,16 @@ def main():
     state, total = multi_step(state, data, rng)
     float(total)
 
-    # compiled FLOP count for the MFU figure (XLA's own cost model)
+    # compiled FLOP count for the MFU figure (XLA's own cost model, over a
+    # single-step jit — a scan body would be counted once, not K times)
     step_flops = None
     try:
-        cost = multi_step.lower(state, data, rng).compile().cost_analysis()
+        single = jax.jit(step)
+        cost = single.lower(state, data, rng).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         if cost and cost.get("flops"):
-            step_flops = float(cost["flops"]) / K
+            step_flops = float(cost["flops"])
     except Exception:
         pass
 

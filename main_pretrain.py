@@ -63,6 +63,12 @@ def get_args_parser():
                    help="bf16 compute policy (TPU-native replacement for --use_mixed)")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="chain k optimizer steps per device dispatch (hides dispatch latency)")
+    p.add_argument("--block_impl", choices=["auto", "xla", "fused"], default="auto",
+                   help="masked-encoder block implementation ('fused' = opt-in "
+                        "Pallas kernel)")
+    p.add_argument("--sparse_impl", choices=["gathered", "masked_dense"], default="gathered",
+                   help="sparse encoder execution: compute on visible patches "
+                        "only (gathered) or the full re-masked grid")
     p.add_argument("--grn_scope", choices=["global", "per_device"], default="global",
                    help="MaskedGRN statistic scope: per_device reproduces the "
                         "reference's per-GPU DDP stats and avoids per-block "
@@ -89,7 +95,8 @@ def config_from_args(args) -> PretrainConfig:
             mask_ratio=args.mask_ratio, decoder_depth=args.decoder_depth,
             decoder_embed_dim=args.decoder_embed_dim, norm_pix_loss=args.norm_pix_loss,
             use_orig_stem=args.use_orig_stem, sparse=args.sparse,
-            grn_scope=args.grn_scope,
+            grn_scope=args.grn_scope, block_impl=args.block_impl,
+            sparse_impl=args.sparse_impl,
         ),
         optim=OptimConfig(
             blr=args.blr, lr=args.lr, min_lr=args.min_lr, weight_decay=args.weight_decay,

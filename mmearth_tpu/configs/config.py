@@ -63,6 +63,13 @@ class ModelConfig:
     # device's batch only — the reference's DDP behavior (each MinkowskiGRN
     # sees one GPU's batch) and cheaper on a mesh (no per-block all-reduce).
     grn_scope: str = "global"
+    # masked-block implementation: "auto"/"xla" composed ops, "fused" the
+    # opt-in Pallas kernel (see models/convnextv2.Block)
+    block_impl: str = "auto"
+    # sparse-encoder execution: "gathered" computes site-local ops on visible
+    # patches only (~2.6x less encoder work at mask 0.6, numerically
+    # identical); "masked_dense" runs the full grid with re-masking
+    sparse_impl: str = "gathered"
     drop_path_rate: float = 0.0
 
     @property

@@ -56,6 +56,96 @@ def gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+def visible_ids(mask: jax.Array, num_visible: int) -> tuple[jax.Array, jax.Array]:
+    """From a (N, L) patch mask (1 = removed) with exactly ``num_visible``
+    zeros per row, build the gather/scatter index pair for visible-patch
+    computation:
+
+      * ``kept_ids`` (N, K): patch ids of the visible patches, ascending.
+      * ``inv_ids`` (N, L): for each patch, its row in the gathered tensor,
+        or K (a sentinel zero-row) for removed patches.
+    """
+    keep = (1.0 - mask).astype(jnp.int32)
+    kept_ids = jnp.argsort(mask, axis=1, stable=True)[:, :num_visible]
+    rank = jnp.cumsum(keep, axis=1) - 1
+    inv_ids = jnp.where(keep > 0, rank, num_visible)
+    return kept_ids, inv_ids
+
+
+def _to_patches(x: jax.Array, grid: int) -> jax.Array:
+    """(N, H, H, C) -> (N, L, p*p, C) patch-major (L = grid^2, p = H/grid)."""
+    n, h, w, c = x.shape
+    p = h // grid
+    x = x.reshape(n, grid, p, grid, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, grid * grid, p * p, c)
+
+
+def _from_patches(x: jax.Array, grid: int, h: int) -> jax.Array:
+    """(N, L, p*p, C) -> (N, H, H, C)."""
+    n, l, pp, c = x.shape
+    p = h // grid
+    x = x.reshape(n, grid, grid, p, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h, h, c)
+
+
+def _take_patches(xp: jax.Array, ids: jax.Array) -> jax.Array:
+    return jnp.take_along_axis(xp, ids[:, :, None, None], axis=1)
+
+
+def _scatter_patches(xg: jax.Array, inv_ids: jax.Array) -> jax.Array:
+    """(N, K, pp, C) -> (N, L, pp, C) with zero rows at removed patches, as a
+    gather through ``inv_ids`` (sentinel zero row K)."""
+    n, _, pp, c = xg.shape
+    ext = jnp.concatenate([xg, jnp.zeros((n, 1, pp, c), xg.dtype)], axis=1)
+    return _take_patches(ext, inv_ids)
+
+
+def gather_visible(x: jax.Array, kept_ids: jax.Array, grid: int,
+                   inv_ids: jax.Array | None = None) -> jax.Array:
+    """Dense (N, H, H, C) -> gathered (N, K, p*p, C) of the visible patches.
+
+    The MinkowskiEngine-equivalent move: with the patch-aligned mask and a
+    fixed visible count (gen_random_mask keeps exactly len_keep patches),
+    every site-local op (LN / pw1 / gelu / GRN / pw2 / residual) runs on the
+    ~40% visible rows only — dense for the MXU, 2.6x less work.  Only the
+    depthwise conv needs the dense grid (scatter_visible below).
+
+    When ``inv_ids`` is given, a custom VJP makes the backward pass a pure
+    gather too — XLA's autodiff of take_along_axis emits a scatter-ADD (it
+    cannot know the indices are unique), which serializes badly on TPU.
+    """
+    xp = _to_patches(x, grid)
+    if inv_ids is None:
+        return _take_patches(xp, kept_ids)
+
+    @jax.custom_vjp
+    def g(xp):
+        return _take_patches(xp, kept_ids)
+
+    g.defvjp(lambda xp: (g(xp), None),
+             lambda _, ct: (_scatter_patches(ct, inv_ids),))
+    return g(xp)
+
+
+def scatter_visible(xg: jax.Array, inv_ids: jax.Array, grid: int, h: int,
+                    kept_ids: jax.Array | None = None) -> jax.Array:
+    """Gathered (N, K, p*p, C) -> dense (N, H, H, C) with zeros at removed
+    patches.  Implemented as a gather through ``inv_ids``; with ``kept_ids``
+    the backward pass is the adjoint gather (see gather_visible)."""
+    if kept_ids is None:
+        return _from_patches(_scatter_patches(xg, inv_ids), grid, h)
+
+    @jax.custom_vjp
+    def s(xg):
+        return _scatter_patches(xg, inv_ids)
+
+    s.defvjp(lambda xg: (s(xg), None),
+             lambda _, ct: (_take_patches(ct, kept_ids),))
+    return _from_patches(s(xg), grid, h)
+
+
 def upsample_mask(mask: jax.Array, grid: int, size: int) -> jax.Array:
     """(N, L) patch mask -> (N, size, size, 1); nearest upsample by repeat
     (reference fcmae.py:233-240)."""
@@ -86,7 +176,17 @@ class Block(nn.Module):
     """ConvNeXtV2 block.  When ``keep`` (N,H,W,1; 1 = visible) is given and
     ``sparse`` is set, reproduces the Minkowski sparse block: the input is
     assumed pre-masked, GRN statistics exclude masked sites, and the residual
-    branch is re-masked once before the add."""
+    branch is re-masked once before the add.
+
+    ``block_impl`` selects the masked-path implementation of everything after
+    the depthwise conv (LN -> pw1 -> gelu -> masked GRN -> pw2 -> mask ->
+    residual): "xla"/"auto" = composed jnp ops; "fused" = the recompute-based
+    Pallas kernel (ops/fused_block.py).  The kernel is opt-in: measured
+    in-model on v5e it loses to XLA (fwd 4.8 ms vs ~3 ms, bwd 8.1 ms vs ~4 ms
+    per stage-0 block at atto/256 — the double erf-gelu recompute dominates),
+    so "auto" resolves to xla.  Parameters are identical across
+    implementations (same names/shapes/init), so checkpoints interchange.
+    """
 
     dim: int
     drop_path: float = 0.0
@@ -98,24 +198,84 @@ class Block(nn.Module):
     dw_init: Optional[Any] = None
     pw_init: Optional[Any] = None
     grn_group: int = 0  # MaskedGRN stats scope (0 = global batch)
+    block_impl: str = "auto"  # "auto" | "xla" | "fused"
+
+    def _fused_active(self, keep, deterministic) -> bool:
+        if self.block_impl == "xla" or keep is None or not self.sparse:
+            return False
+        if self.grn_group:  # kernel implements global-batch GRN stats only
+            return False
+        if self.drop_path and not deterministic:
+            return False
+        return self.block_impl == "fused"
 
     @nn.compact
-    def __call__(self, x, keep=None, deterministic: bool = True):
+    def __call__(self, x, keep=None, deterministic: bool = True, gather_ctx=None):
+        """``gather_ctx`` = (kept_ids, inv_ids, grid, h): visible-patch mode —
+        ``x`` is the gathered (N, K, p*p, C) tensor; the depthwise conv runs
+        on the scattered dense grid, everything else on the gathered rows
+        (identical math to the masked-dense path, ~60% less work at
+        mask_ratio 0.6)."""
         inp = x
         dw_init = self.dw_init or (init_trunc1 if self.sparse else init_normal02)
         pw_init = self.pw_init or (init_trunc1 if self.sparse else init_normal02)
-        x = nn.Conv(
+        dwconv = nn.Conv(
             self.dim, (7, 7), padding="SAME", feature_group_count=self.dim,
             kernel_init=dw_init, dtype=self.dtype, name="dwconv",
-        )(x)
-        x = LayerNorm(self.dim, dtype=self.dtype, name="norm")(x)
-        x = nn.Dense(4 * self.dim, kernel_init=pw_init, dtype=self.dtype, name="pwconv1")(x)
+        )
+        norm = LayerNorm(self.dim, dtype=self.dtype, name="norm")
+        pw1 = nn.Dense(4 * self.dim, kernel_init=pw_init, dtype=self.dtype, name="pwconv1")
+        masked_grn = (
+            MaskedGRN(4 * self.dim, dtype=self.dtype, group=self.grn_group, name="grn")
+            if ((keep is not None or gather_ctx is not None) and self.sparse) else None
+        )
+        pw2 = nn.Dense(self.dim, kernel_init=pw_init, dtype=self.dtype, name="pwconv2")
+
+        if gather_ctx is not None:
+            kept_ids, inv_ids, grid, h = gather_ctx
+            xd = scatter_visible(x, inv_ids, grid, h, kept_ids=kept_ids)
+            t = gather_visible(dwconv(xd), kept_ids, grid, inv_ids=inv_ids)
+            u = gelu(pw1(norm(t)))
+            ones = jnp.ones(t.shape[:-1] + (1,), t.dtype)
+            u = masked_grn(u, ones)  # all gathered rows visible; group = N axis
+            out = pw2(u)
+            out = DropPath(self.drop_path, name="drop_path")(out, deterministic)
+            return inp + out
+
+        x = dwconv(x)
+
+        if self._fused_active(keep, deterministic):
+            # Create the identical param set via dummy calls (the tiny traced
+            # ops are dead-code-eliminated; only the variables persist), then
+            # hand the raw params to the fused kernel.
+            d = x[:1, :1, :1, :]
+            d4 = pw1(norm(d))
+            masked_grn(d4, keep[:1, :1, :1, :])
+            pw2(d4)
+            p = self.variables["params"]
+            n, h, w, c = x.shape
+            from ..ops.fused_block import fused_block_mlp
+
+            y = fused_block_mlp(
+                x.reshape(n * h * w, c),
+                inp.reshape(n * h * w, c),
+                keep.astype(x.dtype).reshape(n * h * w, 1),
+                p["norm"]["scale"], p["norm"]["bias"],
+                p["pwconv1"]["kernel"], p["pwconv1"]["bias"],
+                p["grn"]["gamma"], p["grn"]["beta"],
+                p["pwconv2"]["kernel"], p["pwconv2"]["bias"],
+                jax.default_backend() not in ("tpu",),  # interpret off-TPU
+            )
+            return y.reshape(n, h, w, c)
+
+        x = norm(x)
+        x = pw1(x)
         x = gelu(x)
-        if keep is not None and self.sparse:
-            x = MaskedGRN(4 * self.dim, dtype=self.dtype, group=self.grn_group, name="grn")(x, keep)
+        if masked_grn is not None:
+            x = masked_grn(x, keep)
         else:
             x = GRN(4 * self.dim, dtype=self.dtype, name="grn")(x)
-        x = nn.Dense(self.dim, kernel_init=pw_init, dtype=self.dtype, name="pwconv2")(x)
+        x = pw2(x)
         if keep is not None and self.sparse:
             x = x * keep.astype(x.dtype)
         x = DropPath(self.drop_path, name="drop_path")(x, deterministic)
@@ -137,6 +297,13 @@ class ConvNeXtV2(nn.Module):
     sparse: bool = False
     padding_mode: str = "same"  # "same" | "reference" (see module docstring)
     grn_group: int = 0  # MaskedGRN stats scope (0 = global batch)
+    block_impl: str = "auto"  # masked-block implementation (see Block)
+    # sparse-encoder execution strategy when the visible count is static:
+    # "gathered" computes every site-local op on the visible patches only
+    # (the true MinkowskiEngine equivalent, ~2.6x less work at mask 0.6);
+    # "masked_dense" runs the full grid with re-masking (round-1 behavior).
+    # Both are numerically identical (see tests/test_gathered_encoder.py).
+    sparse_impl: str = "gathered"
     dtype: Dtype = jnp.float32
 
     @property
@@ -189,7 +356,7 @@ class ConvNeXtV2(nn.Module):
         for i, depth in enumerate(self.depths):
             stages.append([
                 Block(self.dims[i], drop_path=dp_rates[cur + j], sparse=self.sparse,
-                      grn_group=self.grn_group, dtype=self.dtype)
+                      grn_group=self.grn_group, block_impl=self.block_impl, dtype=self.dtype)
                 for j in range(depth)
             ])
             cur += depth
@@ -246,14 +413,41 @@ class ConvNeXtV2(nn.Module):
             return x, feats
         return x
 
+    def _stages_gathered(self, x, mask, num_visible: int, deterministic=True):
+        """Run all four stages on the gathered visible patches (Block
+        gather_ctx mode).  The 2x2-stride-2 downsamples are patch-local (the
+        patch side is even until the final 1-px stage), so they run on the
+        gathered rows too; only each block's depthwise conv touches the dense
+        grid.  Returns the dense stage-4 map with zeros at masked sites."""
+        grid = self.img_size // self.patch_size
+        kept_ids, inv_ids = visible_ids(mask, num_visible)
+        h = self.img_size // self.stem_stride
+        xg = gather_visible(x, kept_ids, grid, inv_ids=inv_ids)
+        for blk in self.stages[0]:
+            xg = blk(xg, deterministic=deterministic, gather_ctx=(kept_ids, inv_ids, grid, h))
+        for i in range(3):
+            n, k, pp, c = xg.shape
+            p = h // grid
+            y = self.downsample_norms[i](xg)
+            y = self.downsample_convs[i](y.reshape(n * k, p, p, c))
+            h //= 2
+            p //= 2
+            xg = y.reshape(n, k, p * p, y.shape[-1])
+            for blk in self.stages[i + 1]:
+                xg = blk(xg, deterministic=deterministic, gather_ctx=(kept_ids, inv_ids, grid, h))
+        return scatter_visible(xg, inv_ids, grid, h, kept_ids=kept_ids)
+
     # ------------------------------------------------------------------
     # public paths
     # ------------------------------------------------------------------
-    def encode(self, x, mask, deterministic: bool = True):
+    def encode(self, x, mask, deterministic: bool = True, num_visible: int | None = None):
         """Masked encoding for pretraining.  ``mask``: (N, L), 1 = removed
         (reference convention).  Returns the stage-4 feature map with masked
         sites zeroed (the ``.dense()`` of the sparse output,
-        convnextv2_sparse.py:218)."""
+        convnextv2_sparse.py:218).  ``num_visible``: static per-row visible
+        count; when given (the training path — gen_random_mask keeps exactly
+        len_keep patches) and ``sparse_impl == "gathered"``, the encoder
+        computes on the visible patches only."""
         grid = self.img_size // self.patch_size
         keep_flat = 1.0 - mask.astype(jnp.float32)
         keep_pixel = upsample_mask(keep_flat, grid, self.img_size)
@@ -267,6 +461,8 @@ class ConvNeXtV2(nn.Module):
         sizes = [self.img_size // self.stem_stride // (2 ** i) for i in range(4)]
         keeps = [upsample_mask(keep_flat, grid, s) for s in sizes]
         x = self._stem(x, keep_pixel, keeps[0])
+        if num_visible is not None and self.sparse_impl == "gathered":
+            return self._stages_gathered(x, mask, num_visible, deterministic)
         return self._stages(x, keeps, deterministic)
 
     def forward_features(self, x, deterministic: bool = True):

@@ -108,6 +108,8 @@ class FCMAE(nn.Module):
     padding_mode: str = "same"  # "reference" = dense-path parity padding
     grn_group: int = 0  # MaskedGRN batch scope (0 = global; per-device batch
     #                     reproduces reference per-GPU DDP stats, see norm.py)
+    block_impl: str = "auto"  # encoder masked-block impl (see convnextv2.Block)
+    sparse_impl: str = "gathered"  # "gathered" | "masked_dense" (see ConvNeXtV2)
     loss_aggr: str = "uncertainty"  # or "unweighted"
     loss_full: bool = False
     inp_modalities: Mapping[str, Any] = None
@@ -137,6 +139,8 @@ class FCMAE(nn.Module):
             use_orig_stem=self.use_orig_stem,
             padding_mode=self.padding_mode,
             grn_group=self.grn_group,
+            block_impl=self.block_impl,
+            sparse_impl=self.sparse_impl,
             dtype=self.dtype,
         )
         # FCMAE inits every nn.Conv2d with trunc_normal std 1 (fcmae.py:167-169)
@@ -181,11 +185,15 @@ class FCMAE(nn.Module):
     def forward_encoder(self, imgs: jax.Array, mask_ratio: float, deterministic=True,
                         mask: Optional[jax.Array] = None):
         """``mask`` (N, L), 1 = removed, overrides random generation — used for
-        parity tests against the reference and for visualization."""
+        parity tests against the reference and for visualization.  Generated
+        masks have a static visible count, enabling the gathered encoder; an
+        explicit mask may not, so it takes the masked-dense path."""
+        num_visible = None
         if mask is None:
             rng = self.make_rng("mask")
             mask = gen_random_mask(rng, imgs.shape[0], self.num_patches, mask_ratio)
-        x = self.encoder.encode(imgs, mask, deterministic)
+            num_visible = int(self.num_patches * (1 - mask_ratio))
+        x = self.encoder.encode(imgs, mask, deterministic, num_visible=num_visible)
         return x, mask
 
     def forward_decoder(self, x: jax.Array, mask: jax.Array, deterministic=True):

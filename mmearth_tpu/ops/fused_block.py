@@ -66,12 +66,19 @@ def _ln_forward(t, scale, bias):
     return uhat * scale + bias, uhat, r
 
 
-def _mm(a, b):
+def _mm(a, b, cd=jnp.bfloat16):
+    """Matmul with f32 accumulation; ``cd`` is the MXU input dtype — bf16 for
+    bf16 activations (matching the bf16 XLA path), f32 when the caller runs
+    full precision."""
     return jax.lax.dot_general(
-        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        a.astype(cd), b.astype(cd),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+
+def _mm_dtype(ref_dtype):
+    return jnp.bfloat16 if ref_dtype == jnp.bfloat16 else jnp.float32
 
 
 # ---------------------------------------------------------------------------
@@ -84,10 +91,11 @@ def _fwd_kernel(t_ref, x_ref, keep_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
     i = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
+    cd = _mm_dtype(t_ref.dtype)
     t = t_ref[...].astype(jnp.float32)
     keep = keep_ref[...].astype(jnp.float32)
     u, _, _ = _ln_forward(t, lns_ref[...].astype(jnp.float32), lnb_ref[...].astype(jnp.float32))
-    v = _mm(u, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
+    v = _mm(u, w1_ref[...], cd) + b1_ref[...].astype(jnp.float32)
     g = _gelu(v)
 
     @pl.when(jnp.logical_and(phase == 0, i == 0))
@@ -106,7 +114,7 @@ def _fwd_kernel(t_ref, x_ref, keep_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
         gamma = g_ref[...].astype(jnp.float32)
         beta = bt_ref[...].astype(jnp.float32)
         h = gamma * (g * nx) + beta + g
-        o = _mm(h, w2_ref[...]) + b2_ref[...].astype(jnp.float32)
+        o = _mm(h, w2_ref[...], cd) + b2_ref[...].astype(jnp.float32)
         y = x_ref[...].astype(jnp.float32) + o * keep
         y_ref[...] = y.astype(y_ref.dtype)
 
@@ -128,6 +136,7 @@ def _bwd_kernel(t_ref, keep_ref, dy_ref, gx_ref,
     i = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
+    cd = _mm_dtype(t_ref.dtype)
     t = t_ref[...].astype(jnp.float32)
     keep = keep_ref[...].astype(jnp.float32)
     dy = dy_ref[...].astype(jnp.float32)
@@ -135,7 +144,7 @@ def _bwd_kernel(t_ref, keep_ref, dy_ref, gx_ref,
     lns = lns_ref[...].astype(jnp.float32)
 
     u, uhat, r = _ln_forward(t, lns, lnb_ref[...].astype(jnp.float32))
-    v = _mm(u, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
+    v = _mm(u, w1_ref[...], cd) + b1_ref[...].astype(jnp.float32)
     g = _gelu(v)
 
     gx = gx_ref[...]  # (1, 4C)
@@ -144,7 +153,7 @@ def _bwd_kernel(t_ref, keep_ref, dy_ref, gx_ref,
     nx = gx / denom
 
     do = dy * keep
-    dh = _mm(do, w2_ref[...].T)  # (TM, 4C)
+    dh = _mm(do, w2_ref[...].T, cd)  # (TM, 4C)
     h = gamma * (g * nx) + bt_ref[...].astype(jnp.float32) + g
 
     @pl.when(jnp.logical_and(phase == 0, i == 0))
@@ -163,7 +172,7 @@ def _bwd_kernel(t_ref, keep_ref, dy_ref, gx_ref,
     def _():
         # global reductions that must complete before dgx is known
         dnx_acc[...] += jnp.sum(dh * gamma * g, axis=0, keepdims=True)
-        dw2_acc[...] += _mm(h.T, do)
+        dw2_acc[...] += _mm(h.T, do, cd)
         db2_acc[...] += jnp.sum(do, axis=0, keepdims=True)
         dg_acc[...] += jnp.sum(dh * (g * nx), axis=0, keepdims=True)
         dbt_acc[...] += jnp.sum(dh, axis=0, keepdims=True)
@@ -182,9 +191,9 @@ def _bwd_kernel(t_ref, keep_ref, dy_ref, gx_ref,
         dgg = dgxg_sc[...]
         dg_total = dh * (gamma * nx + 1.0) + (g * keep * keep) * dgg
         dv = dg_total * _gelu_grad(v)
-        dw1_acc[...] += _mm(u.T, dv)
+        dw1_acc[...] += _mm(u.T, dv, cd)
         db1_acc[...] += jnp.sum(dv, axis=0, keepdims=True)
-        du = _mm(dv, w1_ref[...].T)
+        du = _mm(dv, w1_ref[...].T, cd)
         dlns_acc[...] += jnp.sum(du * uhat, axis=0, keepdims=True)
         dlnb_acc[...] += jnp.sum(du, axis=0, keepdims=True)
         # LN backward (biased variance)
@@ -210,9 +219,12 @@ def _bwd_kernel(t_ref, keep_ref, dy_ref, gx_ref,
 # host-side wrappers
 # ---------------------------------------------------------------------------
 def _tile_rows(c4: int, bwd: bool = False) -> int:
-    # The backward kernel holds ~8 (TM, 4C) f32 live values; keep the scoped
-    # VMEM footprint under the 16MB cap.
+    # The backward kernel holds ~8 (TM, 4C) f32 live values plus (C, 4C)
+    # weight-grad scratches; keep the scoped VMEM footprint under the 16MB cap
+    # (c4=1280 with TM=256 measured 78KB over the limit).
     if bwd:
+        if c4 >= 1280:
+            return 128
         return 256 if c4 > 512 else 512
     return 512 if c4 > 512 else 2048
 
@@ -346,14 +358,15 @@ fused_block_mlp.defvjp(_fwd_rule, _bwd_rule)
 # pure-jnp reference (for tests and as the math spec)
 # ---------------------------------------------------------------------------
 def fused_block_mlp_reference(t, x_res, keep, ln_scale, ln_bias, w1, b1, gamma, beta, w2, b2):
+    cd = _mm_dtype(t.dtype)
     t32 = t.astype(jnp.float32)
     keep = keep.astype(jnp.float32)
     u, _, _ = _ln_forward(t32, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32))
-    v = _mm(u, w1) + b1.astype(jnp.float32)
+    v = _mm(u, w1, cd) + b1.astype(jnp.float32)
     g = _gelu(v)
     gk = g * keep
     gx = jnp.sqrt(jnp.sum(gk * gk, axis=0, keepdims=True))
     nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + GRN_EPS)
     h = gamma.astype(jnp.float32) * (g * nx) + beta.astype(jnp.float32) + g
-    o = _mm(h, w2) + b2.astype(jnp.float32)
+    o = _mm(h, w2, cd) + b2.astype(jnp.float32)
     return (x_res.astype(jnp.float32) + o * keep).astype(t.dtype)

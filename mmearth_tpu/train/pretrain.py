@@ -55,6 +55,8 @@ def build_model(cfg: PretrainConfig, dtype=None) -> fcmae_lib.FCMAE:
         sparse=cfg.model.sparse,
         use_orig_stem=cfg.model.use_orig_stem,
         grn_group=cfg.data.batch_size if cfg.model.grn_scope == "per_device" else 0,
+        block_impl=cfg.model.block_impl,
+        sparse_impl=cfg.model.sparse_impl,
         loss_aggr=cfg.run.loss_aggr,
         loss_full=cfg.run.loss_full,
         inp_modalities=cfg.data.inp_modalities,
