@@ -62,13 +62,15 @@ def aligned_random_crop(
 ) -> dict[str, jax.Array]:
     """Random crop with the *same* per-sample offsets for every pixel-wise
     modality (reference fcmae.py:418-434).  NHWC; int modalities are sliced
-    directly (crop is a pure slice; no interpolation).
+    exactly (crop is a pure selection; no interpolation).
 
-    Implemented as two ``take_along_axis`` gathers (rows then cols).  A
-    vmapped ``dynamic_slice`` lowers to per-sample serialized slices on TPU
-    (~100x slower, measured 487 ms vs 4.9 ms at batch 256); axis-wise gathers
-    are exact for every dtype and keep the step MXU/VPU-bound."""
-    pixel_keys = [k for k in imgs_dict if k in pixel_wise]
+    Implemented as two one-hot selection matmuls (rows then cols) over the
+    channel-concatenated modalities: 0/1xvalue products are exact in f32 for
+    every stored value (ints < 2^24 included), the MXU eats the work, and the
+    VJPs are the transposed matmuls.  take_along_axis lowers to serialized
+    per-row gathers (~2.5 ms/step at batch 256) and a vmapped dynamic_slice
+    is ~100x slower still (measured 487 ms vs 4.9 ms)."""
+    pixel_keys = [k for k in imgs_dict if k in pixel_wise and imgs_dict[k].ndim == 4]
     if not pixel_keys:
         return dict(imgs_dict)
     src = imgs_dict[pixel_keys[0]]
@@ -80,15 +82,26 @@ def aligned_random_crop(
     lefts = jax.random.randint(kx, (n,), 0, w - img_size + 1)
     rows = tops[:, None] + jnp.arange(img_size)[None, :]  # (N, S)
     cols = lefts[:, None] + jnp.arange(img_size)[None, :]
+    R = jax.nn.one_hot(rows, h, dtype=jnp.float32)   # (N, S, H)
+    Cm = jax.nn.one_hot(cols, w, dtype=jnp.float32)  # (N, S, W)
 
-    out = {}
-    for name, arr in imgs_dict.items():
-        if name in pixel_wise and arr.ndim == 4:
-            x = jnp.take_along_axis(arr, rows[:, :, None, None], axis=1)
-            x = jnp.take_along_axis(x, cols[:, None, :, None], axis=2)
-            out[name] = x
-        else:
-            out[name] = arr
+    # one crop over the channel-concatenated stack, split back afterwards
+    parts = [imgs_dict[k].astype(jnp.float32) for k in pixel_keys]
+    chans = [p.shape[-1] for p in parts]
+    stack = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    c = stack.shape[-1]
+    y = jax.lax.dot_general(  # rows: (N,S,H) x (N,H,W*C) -> (N,S,W*C)
+        R, stack.reshape(n, h, w * c), dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+    ).reshape(n, img_size, w, c)
+    y = jax.lax.dot_general(  # cols: (N,S,W) x (N,S',W,C) -> (N,S,S',C)
+        Cm, y, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+    ).transpose(0, 2, 1, 3)
+
+    out = dict(imgs_dict)
+    off = 0
+    for k, ch in zip(pixel_keys, chans):
+        out[k] = y[..., off:off + ch].astype(imgs_dict[k].dtype)
+        off += ch
     return out
 
 

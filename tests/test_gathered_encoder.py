@@ -9,7 +9,7 @@ import pytest
 from mmearth_tpu.models import convnextv2 as cnx
 from mmearth_tpu.models import fcmae as fcmae_lib
 from mmearth_tpu.models.convnextv2 import (
-    gather_visible, scatter_visible, visible_ids,
+    gather_visible, scatter_visible, visible_ids, visible_onehot,
 )
 
 
@@ -26,9 +26,10 @@ def test_gather_scatter_roundtrip():
         expect = np.nonzero(1 - np.asarray(mask)[i])[0]
         np.testing.assert_array_equal(np.sort(np.asarray(kept)[i]), expect)
 
-    xg = gather_visible(x, kept, grid)
+    P = visible_onehot(mask, k, jnp.float32)
+    xg = gather_visible(x, P, grid)
     assert xg.shape == (n, k, p * p, c)
-    dense = scatter_visible(xg, inv, grid, grid * p)
+    dense = scatter_visible(xg, P, grid, grid * p)
     # visible patches round-trip exactly; removed patches are zero
     keep_pix = cnx.upsample_mask(1.0 - mask.astype(jnp.float32), grid, grid * p)
     np.testing.assert_array_equal(np.asarray(dense), np.asarray(x * keep_pix))
