@@ -72,16 +72,13 @@ def main():
     state, total = multi_step(state, data, rng)
     float(total)
 
-    # compiled FLOP count for the MFU figure (XLA's own cost model, over a
-    # single-step jit — a scan body would be counted once, not K times)
+    # analytic dot/conv FLOP count for the MFU figure (XLA's cost_analysis is
+    # unreliable through the PJRT plugin here — see utils/flops.py)
     step_flops = None
     try:
-        single = jax.jit(step)
-        cost = single.lower(state, data, rng).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        if cost and cost.get("flops"):
-            step_flops = float(cost["flops"])
+        from mmearth_tpu.utils.flops import step_flops as count_flops
+
+        step_flops = count_flops(step, state, data, rng)
     except Exception:
         pass
 

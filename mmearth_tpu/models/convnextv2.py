@@ -216,9 +216,18 @@ class Block(nn.Module):
         pw2 = nn.Dense(self.dim, kernel_init=pw_init, dtype=self.dtype, name="pwconv2")
 
         if gather_ctx is not None:
-            P, grid, h = gather_ctx
-            xd = scatter_visible(x, P, grid, h)
-            t = gather_visible(dwconv(xd), P, grid)
+            (kind, sel), grid, h = gather_ctx
+            if kind == "pallas":
+                from ..ops import patch_select as psel
+
+                n, k, pp, c = x.shape
+                p = h // grid
+                xd = psel.scatter_patches(
+                    x.reshape(n, k, p, p, c), sel, p, grid, h)
+                t = psel.gather_patches(dwconv(xd), sel, p, grid).reshape(x.shape)
+            else:
+                xd = scatter_visible(x, sel, grid, h)
+                t = gather_visible(dwconv(xd), sel, grid)
             u = gelu(pw1(norm(t)))
             ones = jnp.ones(t.shape[:-1] + (1,), t.dtype)
             u = masked_grn(u, ones)  # all gathered rows visible; group = N axis
@@ -288,6 +297,13 @@ class ConvNeXtV2(nn.Module):
     # "masked_dense" runs the full grid with re-masking (round-1 behavior).
     # Both are numerically identical (see tests/test_gathered_encoder.py).
     sparse_impl: str = "gathered"
+    # gathered-path selection implementation: "onehot" = 0/1 selection
+    # matmuls; "pallas" = DMA patch-copy kernels (ops/patch_select.py; jnp
+    # fallback off-TPU).  Bit-identical outputs.  "auto" resolves to onehot:
+    # measured at atto/256 on v5e the pallas copies lose (64.8 vs 48.0
+    # ms/step) — per-patch sub-tile copies can't amortize their per-grid-step
+    # overhead, while XLA fuses the selection matmuls into neighbors.
+    gather_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @property
@@ -404,12 +420,26 @@ class ConvNeXtV2(nn.Module):
         gathered rows too; only each block's depthwise conv touches the dense
         grid.  Returns the dense stage-4 map with zeros at masked sites."""
         grid = self.img_size // self.patch_size
-        P = visible_onehot(mask, num_visible,
-                           jnp.bfloat16 if self.dtype == jnp.bfloat16 else jnp.float32)
+        impl = "pallas" if self.gather_impl == "pallas" else "onehot"
+        if impl == "pallas":
+            from ..ops import patch_select as psel
+
+            kept_ids, _ = visible_ids(mask, num_visible)
+            sel = (impl, kept_ids)
+        else:
+            P = visible_onehot(mask, num_visible,
+                               jnp.bfloat16 if self.dtype == jnp.bfloat16 else jnp.float32)
+            sel = (impl, P)
         h = self.img_size // self.stem_stride
-        xg = gather_visible(x, P, grid)
+        p = h // grid
+        if impl == "pallas":
+            xg = psel.gather_patches(x, kept_ids, p, grid)
+            n, k = xg.shape[0], xg.shape[1]
+            xg = xg.reshape(n, k, p * p, x.shape[-1])
+        else:
+            xg = gather_visible(x, P, grid)
         for blk in self.stages[0]:
-            xg = blk(xg, deterministic=deterministic, gather_ctx=(P, grid, h))
+            xg = blk(xg, deterministic=deterministic, gather_ctx=(sel, grid, h))
         for i in range(3):
             n, k, pp, c = xg.shape
             p = h // grid
@@ -419,7 +449,11 @@ class ConvNeXtV2(nn.Module):
             p //= 2
             xg = y.reshape(n, k, p * p, y.shape[-1])
             for blk in self.stages[i + 1]:
-                xg = blk(xg, deterministic=deterministic, gather_ctx=(P, grid, h))
+                xg = blk(xg, deterministic=deterministic, gather_ctx=(sel, grid, h))
+        n, k, pp, c = xg.shape
+        p = h // grid
+        if impl == "pallas":
+            return psel.scatter_patches(xg.reshape(n, k, p, p, c), kept_ids, p, grid, h)
         return scatter_visible(xg, P, grid, h)
 
     # ------------------------------------------------------------------

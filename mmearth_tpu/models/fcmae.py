@@ -123,6 +123,7 @@ class FCMAE(nn.Module):
     #                     reproduces reference per-GPU DDP stats, see norm.py)
     block_impl: str = "auto"  # encoder masked-block impl (see convnextv2.Block)
     sparse_impl: str = "gathered"  # "gathered" | "masked_dense" (see ConvNeXtV2)
+    gather_impl: str = "auto"  # "pallas" | "onehot" selection (see ConvNeXtV2)
     loss_aggr: str = "uncertainty"  # or "unweighted"
     loss_full: bool = False
     inp_modalities: Mapping[str, Any] = None
@@ -154,6 +155,7 @@ class FCMAE(nn.Module):
             grn_group=self.grn_group,
             block_impl=self.block_impl,
             sparse_impl=self.sparse_impl,
+            gather_impl=self.gather_impl,
             dtype=self.dtype,
         )
         # FCMAE inits every nn.Conv2d with trunc_normal std 1 (fcmae.py:167-169)

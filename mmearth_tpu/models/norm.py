@@ -86,7 +86,10 @@ class MaskedGRN(nn.Module):
         g = n if self.group <= 0 or n % self.group else min(self.group, n)
         xg = xf.reshape(n // g, g, *xf.shape[1:])
         mg = masked.reshape(n // g, g, *masked.shape[1:])
-        gx = jnp.sqrt(jnp.sum(jnp.square(mg), axis=(1, 2, 3), keepdims=True))  # (n/g,1,1,1,C)
+        # L2 over every axis of the group except the channel one (works for
+        # (N,H,W,C) dense layouts and flattened (rows, C) gathered layouts)
+        axes = tuple(range(1, mg.ndim - 1))
+        gx = jnp.sqrt(jnp.sum(jnp.square(mg), axis=axes, keepdims=True))
         nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
         y = gamma * (xg * nx) + beta + xg
         return y.reshape(xf.shape).astype(self.dtype)

@@ -24,7 +24,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the session environment pins JAX_PLATFORMS to the TPU
+# plugin, and a TPU-vs-CPU ratio would be a dishonest "same-host" anchor
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 
 def torch_reference_sps(batch: int, steps: int, warmup: int = 2) -> float:
@@ -123,9 +125,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--torch_sps", type=float, default=None,
+                    help="reuse a previously measured torch samples/s")
     args = ap.parse_args()
 
-    ref_sps = torch_reference_sps(args.batch, args.steps)
+    ref_sps = args.torch_sps or torch_reference_sps(args.batch, args.steps)
     ours_dense = ours_sps(args.batch, args.steps, sparse=False)
     ours_sparse = ours_sps(args.batch, args.steps, sparse=True)
     result = {
