@@ -119,6 +119,10 @@ def main():
         "device_kind": kind,
         "anchor": anchor,
     }
+    ref_cpu = anchor.get("measured_cpu", {}).get("reference_torch_sps")
+    if ref_cpu:
+        # measured: the reference's own torch step on this host's CPU
+        out["vs_reference_torch_cpu_measured"] = round(sps_per_chip / ref_cpu, 1)
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
         out["step_gflops_per_sample"] = round(step_flops / batch / 1e9, 3)

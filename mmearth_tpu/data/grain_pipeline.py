@@ -1,0 +1,203 @@
+"""Grain/ArrayRecord input pipeline — the cloud-storage alternative to mmpack.
+
+The mmpack loader (data/loader.py) memory-maps flat tensors on local disk —
+ideal for a single host with fast local storage.  For TPU-pod training off
+network filesystems / object stores, the TPU-ecosystem answer is Grain over
+ArrayRecord shards: parallel record-level reads, deterministic global shuffle
+from a seed, per-process sharding that composes with ``jax.process_index()``,
+and — unlike the reference's FFCV loader (mmearth_dataset.py:300-316) — a
+*checkpointable iterator*: ``GrainLoader.get_state()`` round-trips through the
+Orbax checkpoint alongside model state, so a resumed run continues mid-epoch
+on exactly the next sample (the reference restarts the epoch on resume,
+helpers.py:568-610).
+
+Record format: one sample per record, serialized as an uncompressed ``.npz``
+(self-describing name->array archive); all mmearth transforms (band select,
+label remap, z-norm, dtype, HWC) are applied before packing, exactly as in
+data/pack.py, so training-time decode is a zero-copy ``np.load`` per field.
+"""
+from __future__ import annotations
+
+import io
+import json
+from pathlib import Path
+from typing import Iterator, Mapping, Sequence
+
+import numpy as np
+
+__all__ = [
+    "pack_arrayrecord",
+    "GrainLoader",
+    "have_grain",
+]
+
+
+def have_grain() -> bool:
+    try:
+        import grain.python  # noqa: F401
+        from array_record.python import array_record_module  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _encode_sample(sample: Mapping[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **{k: np.asarray(v) for k, v in sample.items()})
+    return buf.getvalue()
+
+
+def _decode_sample(data: bytes) -> dict[str, np.ndarray]:
+    with np.load(io.BytesIO(bytes(data))) as z:
+        return {k: z[k] for k in z.files}
+
+
+def pack_arrayrecord(
+    dataset,
+    out_dir: Path | str,
+    indices: Sequence[int] | None = None,
+    shard_size: int = 4096,
+    log_every: int = 10000,
+) -> Path:
+    """Pack an indexable sample-dict dataset (e.g. MMEarthDataset or a list)
+    into ArrayRecord shards: ``<out>/mmearth-NNNNN.array_record`` + meta.json.
+
+    Like data/pack.py, int64 labels are narrowed to int32 and the ``id``
+    field is kept out of the tensor record (stored in meta.json order).
+    """
+    from array_record.python.array_record_module import ArrayRecordWriter
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    idxs = list(range(len(dataset))) if indices is None else list(indices)
+    n = len(idxs)
+    assert n > 0, "cannot pack an empty split"
+
+    ids: list = []
+    shard_paths: list[str] = []
+    writer = None
+    fields: dict | None = None
+    for row, idx in enumerate(idxs):
+        item = dict(dataset[idx])
+        ids.append(str(item.pop("id", idx)))
+        item = {
+            k: (v.astype(np.int32) if getattr(v, "dtype", None) == np.int64 else np.asarray(v))
+            for k, v in item.items()
+        }
+        if fields is None:
+            fields = {
+                k: {"shape": list(v.shape), "dtype": v.dtype.name} for k, v in item.items()
+            }
+        if writer is None:
+            path = out_dir / f"mmearth-{len(shard_paths):05d}.array_record"
+            shard_paths.append(path.name)
+            writer = ArrayRecordWriter(str(path), "group_size:1")
+        writer.write(_encode_sample(item))
+        if (row + 1) % shard_size == 0:
+            writer.close()
+            writer = None
+        if log_every and row and row % log_every == 0:
+            print(f"packed {row}/{n}")
+    if writer is not None:
+        writer.close()
+
+    meta = {"count": n, "fields": fields, "shards": shard_paths, "ids": ids}
+    (out_dir / "meta.json").write_text(json.dumps(meta))
+    return out_dir
+
+
+class GrainLoader:
+    """Iterable over batches of numpy dicts, backed by Grain + ArrayRecord.
+
+    Interface mirrors ``PackedLoader`` (batch dicts, ``set_epoch``,
+    ``len(loader)``) so the training drivers can swap loaders; adds
+    ``get_state()/set_state()`` for mid-epoch checkpoint/resume.
+
+    ``shard=(index, count)`` splits records across processes (equivalent to
+    the reference's DistributedSampler, main_pretrain.py:301-310).
+    """
+
+    def __init__(
+        self,
+        path: Path | str,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        shard: tuple[int, int] = (0, 1),
+        num_epochs: int | None = None,
+        worker_count: int = 0,
+        read_threads: int = 2,
+    ):
+        import grain.python as pg
+
+        self.path = Path(path)
+        meta = json.loads((self.path / "meta.json").read_text())
+        self.count: int = meta["count"]
+        self.fields: dict = meta["fields"]
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        shard_files = [str(self.path / s) for s in meta["shards"]]
+        self._source = pg.ArrayRecordDataSource(shard_files)
+
+        class _Decode(pg.MapTransform):
+            def map(self, record):
+                return _decode_sample(record)
+
+        rank, world = shard
+        self._sampler = pg.IndexSampler(
+            num_records=self.count,
+            shard_options=pg.ShardOptions(
+                shard_index=rank, shard_count=world, drop_remainder=drop_last
+            ),
+            shuffle=shuffle,
+            num_epochs=num_epochs,
+            seed=seed,
+        )
+        self._loader = pg.DataLoader(
+            data_source=self._source,
+            sampler=self._sampler,
+            operations=[_Decode(), pg.Batch(batch_size, drop_remainder=drop_last)],
+            worker_count=worker_count,
+            read_options=pg.ReadOptions(num_threads=read_threads, prefetch_buffer_size=8),
+        )
+        self._it = None
+        self.shard = shard
+        self._num_epochs = num_epochs
+
+    # -- PackedLoader-compatible surface ------------------------------------
+    def set_epoch(self, epoch: int):
+        """No-op for parity: Grain's sampler owns the epoch->shuffle mapping
+        (each pass over the sampler advances the epoch deterministically)."""
+
+    def __len__(self):
+        rank, world = self.shard
+        per_shard = self.count // world if self.drop_last else -(-self.count // world)
+        n = per_shard // self.batch_size
+        if not self.drop_last and per_shard % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        if self._num_epochs is None:
+            # fresh epoch-sized slice of the continuous iterator
+            it = self.iterator()
+            for _ in range(len(self)):
+                yield next(it)
+        else:
+            yield from self._loader
+
+    # -- checkpointable continuous iterator ---------------------------------
+    def iterator(self):
+        """The persistent Grain iterator (continuous across epochs when
+        ``num_epochs=None``).  Its state round-trips via get/set_state."""
+        if self._it is None:
+            self._it = iter(self._loader)
+        return self._it
+
+    def get_state(self) -> bytes:
+        return self.iterator().get_state()
+
+    def set_state(self, state: bytes) -> None:
+        self.iterator().set_state(state)

@@ -304,6 +304,13 @@ class ConvNeXtV2(nn.Module):
     # ms/step) — per-patch sub-tile copies can't amortize their per-grid-step
     # overhead, while XLA fuses the selection matmuls into neighbors.
     gather_impl: str = "auto"
+    # run the stem's site-local tail (LN/GELU/depthwise stem/LN) on the
+    # gathered visible rows instead of the dense grid.  Equivalent math
+    # (tests/test_gathered_encoder.py); measured slightly SLOWER in-model
+    # (50.9 vs 48.0 ms/step at atto/256 — the (N*K, p, p, C) micro-batched
+    # stem conv and ragged-layout LNs cost more than the 60% site reduction
+    # saves), so the default keeps the dense stem.
+    stem_gathered: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -414,11 +421,15 @@ class ConvNeXtV2(nn.Module):
         return x
 
     def _stages_gathered(self, x, mask, num_visible: int, deterministic=True):
-        """Run all four stages on the gathered visible patches (Block
-        gather_ctx mode).  The 2x2-stride-2 downsamples are patch-local (the
-        patch side is even until the final 1-px stage), so they run on the
-        gathered rows too; only each block's depthwise conv touches the dense
-        grid.  Returns the dense stage-4 map with zeros at masked sites."""
+        """Stem + all four stages on the gathered visible patches (Block
+        gather_ctx mode).  ``x`` is the pixel-masked *input image*: only the
+        ``initial_conv`` (3x3, stride 1 — its windows cross patch borders)
+        runs on the dense grid; everything after it is site-local at the
+        flagship geometry (LN / GELU / the depthwise stem whose stride-s
+        window equals its step / 2x2-stride-2 downsamples), so it runs on the
+        ~40% visible rows.  Equivalent to the masked-dense path site-for-site
+        (tests/test_gathered_encoder.py).  Returns the dense stage-4 map with
+        zeros at masked sites."""
         grid = self.img_size // self.patch_size
         impl = "pallas" if self.gather_impl == "pallas" else "onehot"
         if impl == "pallas":
@@ -430,14 +441,40 @@ class ConvNeXtV2(nn.Module):
             P = visible_onehot(mask, num_visible,
                                jnp.bfloat16 if self.dtype == jnp.bfloat16 else jnp.float32)
             sel = (impl, P)
-        h = self.img_size // self.stem_stride
-        p = h // grid
-        if impl == "pallas":
-            xg = psel.gather_patches(x, kept_ids, p, grid)
+
+        def gather(xd, p):
+            if impl == "pallas":
+                xg = psel.gather_patches(xd, kept_ids, p, grid)
+                return xg.reshape(xg.shape[0], xg.shape[1], p * p, xd.shape[-1])
+            return gather_visible(xd, P, grid)
+
+        # ---- stem: dense (default) or on visible rows (reference _stem
+        # order; masking is a no-op on gathered rows so the mask-multiplies
+        # drop out) ----
+        p_in = self.img_size // grid
+        s = self.stem_stride
+        h = self.img_size // s
+        if not self.stem_gathered:
+            keep_flat = 1.0 - mask.astype(jnp.float32)
+            keep_pixel = upsample_mask(keep_flat, grid, self.img_size)
+            keep_stem = upsample_mask(keep_flat, grid, h)
+            xg = gather(self._stem(x, keep_pixel, keep_stem), h // grid)
+        elif self.use_orig_stem:
+            # (s, s) stride-s conv is patch-local: gather the raw input
+            xg = gather(x, p_in)
             n, k = xg.shape[0], xg.shape[1]
-            xg = xg.reshape(n, k, p * p, x.shape[-1])
+            y = self.stem_orig_conv(xg.reshape(n * k, p_in, p_in, xg.shape[-1]))
+            y = self.stem_orig_norm(y)
+            p0 = p_in // s
+            xg = y.reshape(n, k, p0 * p0, self.dims[0])
         else:
-            xg = gather_visible(x, P, grid)
+            xg = gather(self.initial_conv_conv(x), p_in)
+            n, k = xg.shape[0], xg.shape[1]
+            xg = gelu(self.initial_conv_norm(xg))
+            y = self.stem_conv(xg.reshape(n * k, p_in, p_in, self.dims[0]))
+            y = self.stem_norm(y)
+            p0 = p_in // s
+            xg = y.reshape(n, k, p0 * p0, self.dims[0])
         for blk in self.stages[0]:
             xg = blk(xg, deterministic=deterministic, gather_ctx=(sel, grid, h))
         for i in range(3):
@@ -477,11 +514,13 @@ class ConvNeXtV2(nn.Module):
             x = self._stem(x)
             return self._stages(x, None, deterministic)
 
+        if num_visible is not None and self.sparse_impl == "gathered":
+            # stem runs inside the gathered path (on visible rows)
+            return self._stages_gathered(x, mask, num_visible, deterministic)
+
         sizes = [self.img_size // self.stem_stride // (2 ** i) for i in range(4)]
         keeps = [upsample_mask(keep_flat, grid, s) for s in sizes]
         x = self._stem(x, keep_pixel, keeps[0])
-        if num_visible is not None and self.sparse_impl == "gathered":
-            return self._stages_gathered(x, mask, num_visible, deterministic)
         return self._stages(x, keeps, deterministic)
 
     def forward_features(self, x, deterministic: bool = True):

@@ -124,6 +124,7 @@ class FCMAE(nn.Module):
     block_impl: str = "auto"  # encoder masked-block impl (see convnextv2.Block)
     sparse_impl: str = "gathered"  # "gathered" | "masked_dense" (see ConvNeXtV2)
     gather_impl: str = "auto"  # "pallas" | "onehot" selection (see ConvNeXtV2)
+    stem_gathered: bool = False  # run stem tail on visible rows (see ConvNeXtV2)
     loss_aggr: str = "uncertainty"  # or "unweighted"
     loss_full: bool = False
     inp_modalities: Mapping[str, Any] = None
@@ -156,6 +157,7 @@ class FCMAE(nn.Module):
             block_impl=self.block_impl,
             sparse_impl=self.sparse_impl,
             gather_impl=self.gather_impl,
+            stem_gathered=self.stem_gathered,
             dtype=self.dtype,
         )
         # FCMAE inits every nn.Conv2d with trunc_normal std 1 (fcmae.py:167-169)

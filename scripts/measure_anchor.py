@@ -25,8 +25,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 
 # hard override: the session environment pins JAX_PLATFORMS to the TPU
-# plugin, and a TPU-vs-CPU ratio would be a dishonest "same-host" anchor
+# plugin (its sitecustomize even overrides a pre-import env assignment), and
+# a TPU-vs-CPU ratio would be a dishonest "same-host" anchor.  The config
+# update below is the only override that sticks.
 os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
 
 
 def torch_reference_sps(batch: int, steps: int, warmup: int = 2) -> float:
@@ -140,6 +146,11 @@ def main():
         "ours_sparse_emulation_sps": round(ours_sparse, 3),
         "speedup_dense_vs_reference": round(ours_dense / ref_sps, 3),
         "speedup_sparse_vs_reference": round(ours_sparse / ref_sps, 3),
+        "note": "same-host CPU measurement anchoring the reference's "
+                "absolute throughput; CPU is not this framework's target "
+                "(XLA:CPU single-core conv kernels trail torch's) — compare "
+                "reference_torch_sps against the TPU samples/s in bench.py "
+                "output for the cross-platform headline",
     }
     print(json.dumps(result))
     out = Path(__file__).resolve().parent.parent / "ANCHOR.json"
