@@ -73,6 +73,14 @@ def get_args_parser():
                    help="MaskedGRN statistic scope: per_device reproduces the "
                         "reference's per-GPU DDP stats and avoids per-block "
                         "cross-chip all-reduces")
+    p.add_argument("--loader", choices=["mmpack", "grain"], default="mmpack",
+                   help="input pipeline: mmpack = memory-mapped local tensors; "
+                        "grain = Grain/ArrayRecord (cloud-storage-friendly, "
+                        "checkpointable iterator)")
+    p.add_argument("--order", choices=["random", "quasi_random", "sequential"],
+                   default=None,
+                   help="mmpack train sampling order (FFCV OrderOption parity; "
+                        "quasi_random = locality-aware windowed shuffle)")
 
     # accepted for reference compatibility; no-ops on TPU
     for flag, default in [
@@ -106,6 +114,7 @@ def config_from_args(args) -> PretrainConfig:
             data_dir=args.data_dir, processed_dir=args.processed_dir,
             batch_size=args.batch_size, num_workers=args.num_workers,
             random_crop=args.random_crop, debug=args.debug,
+            loader=args.loader, order=args.order,
         ),
         run=RunConfig(
             epochs=args.epochs, start_epoch=args.start_epoch, seed=args.seed,

@@ -117,6 +117,14 @@ class DataConfig:
     inp_modalities: Mapping[str, Any] = dataclasses.field(default_factory=lambda: dict(M.INP_MODALITIES))
     out_modalities: Mapping[str, Any] = dataclasses.field(default_factory=lambda: dict(M.OUT_MODALITIES))
     debug: bool = False  # 10-sample subset, mirrors reference --debug
+    # input pipeline backend: "mmpack" = memory-mapped flat tensors + native
+    # gather (local disk); "grain" = Grain over ArrayRecord shards
+    # (cloud-storage-friendly, checkpointable iterator; data/grain_pipeline.py)
+    loader: str = "mmpack"
+    # train-split sampling order for mmpack: random | quasi_random | sequential
+    # (reference FFCV OrderOption, mmearth_dataset.py:301-310 — it hardcodes
+    # RANDOM for train; quasi_random is our locality-aware extension)
+    order: str | None = None
 
     @property
     def modalities(self) -> dict[str, Any]:

@@ -68,6 +68,31 @@ def build_model(cfg: PretrainConfig, dtype=None) -> fcmae_lib.FCMAE:
 def get_dataloader(cfg: PretrainConfig, split: str = "train"):
     processed = Path(cfg.data.processed_dir or cfg.data.data_dir)
     indices = [list(range(10))] if cfg.data.debug else None  # reference --debug (main_pretrain.py:219-221)
+    is_train = split == "train"
+    if cfg.data.loader == "grain":
+        from ..data.grain_pipeline import GrainLoader, pack_arrayrecord
+        from ..data.mmearth import MMEarthDataset
+
+        dest = processed / (split + "_arrayrecord" + ("_subset" if indices else ""))
+        if not (dest / "meta.json").exists():
+            src = MMEarthDataset(cfg.data.data_dir, cfg.data.modalities, split=split)
+            print(f"packing split {split!r} -> {dest}")
+            pack_arrayrecord(src, dest, indices=indices[0] if indices else None)
+        loader = GrainLoader(
+            dest,
+            batch_size=cfg.data.batch_size * jax.local_device_count(),
+            shuffle=is_train,
+            drop_last=is_train,
+            seed=cfg.run.seed,
+            shard=(jax.process_index(), jax.process_count()),
+            worker_count=0 if cfg.data.num_workers <= 1 else cfg.data.num_workers,
+        )
+        class _Count:  # len(ds) = global sample count (PackedDataset parity)
+            def __len__(self_inner):
+                return loader.count
+
+        return _Count(), loader
+
     packed = pack_mmearth(
         cfg.data.data_dir, processed, cfg.data.modalities, splits=(split,), indices=indices
     )[0]
@@ -75,11 +100,12 @@ def get_dataloader(cfg: PretrainConfig, split: str = "train"):
     loader = PackedLoader(
         ds,
         batch_size=cfg.data.batch_size * jax.local_device_count(),
-        shuffle=split == "train",
-        drop_last=split == "train",
+        shuffle=is_train,
+        drop_last=is_train,
         seed=cfg.run.seed,
         shard=(jax.process_index(), jax.process_count()),
         num_workers=cfg.data.num_workers,
+        order=cfg.data.order if is_train else "sequential",
     )
     return ds, loader
 

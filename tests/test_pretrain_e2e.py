@@ -122,3 +122,27 @@ def test_pretrain_chained_dispatch(synth_dir, tmp_path):
     state, history = main_pretrain.main(args)
     assert np.isfinite(history[0]["loss"])
     assert int(state.step) == 21 // 8  # 21 train samples, batch 8 (1 x 8 devices)
+
+
+@pytest.mark.slow
+def test_pretrain_grain_loader(synth_dir, tmp_path):
+    """--loader grain drives the same CLI path through Grain/ArrayRecord."""
+    import main_pretrain
+    from mmearth_tpu.data import grain_pipeline as gp
+
+    if not gp.have_grain():
+        pytest.skip("grain not installed")
+    args = main_pretrain.get_args_parser().parse_args(
+        [
+            "--data_dir", str(synth_dir),
+            "--processed_dir", str(tmp_path / "proc"),
+            "--model", "convnextv2_atto",
+            "--input_size", "56", "--patch_size", "8",
+            "--batch_size", "1", "--epochs", "1", "--warmup_epochs", "1",
+            "--loader", "grain", "--use_bf16", "False",
+        ]
+    )
+    state, history = main_pretrain.main(args)
+    assert np.isfinite(history[0]["loss"])
+    assert int(state.step) == 21 // 8  # same step count as the mmpack loader
+    assert (tmp_path / "proc" / "train_arrayrecord" / "meta.json").exists()
