@@ -73,6 +73,10 @@ def get_args_parser():
                    help="MaskedGRN statistic scope: per_device reproduces the "
                         "reference's per-GPU DDP stats and avoids per-block "
                         "cross-chip all-reduces")
+    p.add_argument("--gelu_approx", type=str2bool, default=False,
+                   help="tanh-approximate GELU (~1e-3-relative deviation from "
+                        "the reference's exact erf GELU; measured NOT a v5e "
+                        "perf win — see ROADMAP.md)")
     p.add_argument("--loader", choices=["mmpack", "grain"], default="mmpack",
                    help="input pipeline: mmpack = memory-mapped local tensors; "
                         "grain = Grain/ArrayRecord (cloud-storage-friendly, "
@@ -104,7 +108,7 @@ def config_from_args(args) -> PretrainConfig:
             decoder_embed_dim=args.decoder_embed_dim, norm_pix_loss=args.norm_pix_loss,
             use_orig_stem=args.use_orig_stem, sparse=args.sparse,
             grn_scope=args.grn_scope, block_impl=args.block_impl,
-            sparse_impl=args.sparse_impl,
+            sparse_impl=args.sparse_impl, gelu_approx=args.gelu_approx,
         ),
         optim=OptimConfig(
             blr=args.blr, lr=args.lr, min_lr=args.min_lr, weight_decay=args.weight_decay,

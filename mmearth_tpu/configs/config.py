@@ -70,6 +70,9 @@ class ModelConfig:
     # patches only (~2.6x less encoder work at mask 0.6, numerically
     # identical); "masked_dense" runs the full grid with re-masking
     sparse_impl: str = "gathered"
+    # tanh-approximate GELU everywhere (opt-in; ~1e-3-relative deviation from
+    # the reference's exact erf GELU, cheaper VPU transcendentals)
+    gelu_approx: bool = False
     drop_path_rate: float = 0.0
 
     @property

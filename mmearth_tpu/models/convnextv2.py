@@ -52,8 +52,11 @@ init_normal02 = nn.initializers.normal(stddev=0.02)
 init_trunc1 = nn.initializers.truncated_normal(stddev=1.0)
 
 
-def gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+def gelu(x, approximate: bool = False):
+    """Reference parity default: torch nn.GELU() = exact erf GELU.  The tanh
+    approximation (``gelu_approx`` config) trades ~1e-3-relative activation
+    differences for cheaper transcendentals on the VPU."""
+    return jax.nn.gelu(x, approximate=approximate)
 
 
 def visible_ids(mask: jax.Array, num_visible: int) -> tuple[jax.Array, jax.Array]:
@@ -183,6 +186,7 @@ class Block(nn.Module):
     pw_init: Optional[Any] = None
     grn_group: int = 0  # MaskedGRN stats scope (0 = global batch)
     block_impl: str = "auto"  # "auto" | "xla" | "fused"
+    gelu_approx: bool = False  # tanh GELU instead of reference-exact erf
 
     def _fused_active(self, keep, deterministic) -> bool:
         if self.block_impl == "xla" or keep is None or not self.sparse:
@@ -228,7 +232,7 @@ class Block(nn.Module):
             else:
                 xd = scatter_visible(x, sel, grid, h)
                 t = gather_visible(dwconv(xd), sel, grid)
-            u = gelu(pw1(norm(t)))
+            u = gelu(pw1(norm(t)), self.gelu_approx)
             ones = jnp.ones(t.shape[:-1] + (1,), t.dtype)
             u = masked_grn(u, ones)  # all gathered rows visible; group = N axis
             out = pw2(u)
@@ -263,7 +267,7 @@ class Block(nn.Module):
 
         x = norm(x)
         x = pw1(x)
-        x = gelu(x)
+        x = gelu(x, self.gelu_approx)
         if masked_grn is not None:
             x = masked_grn(x, keep)
         else:
@@ -311,6 +315,9 @@ class ConvNeXtV2(nn.Module):
     # stem conv and ragged-layout LNs cost more than the 60% site reduction
     # saves), so the default keeps the dense stem.
     stem_gathered: bool = False
+    # tanh-approximate GELU everywhere (opt-in; deviates from the reference's
+    # exact erf GELU by ~1e-3 relative — see --gelu_approx)
+    gelu_approx: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -363,7 +370,8 @@ class ConvNeXtV2(nn.Module):
         for i, depth in enumerate(self.depths):
             stages.append([
                 Block(self.dims[i], drop_path=dp_rates[cur + j], sparse=self.sparse,
-                      grn_group=self.grn_group, block_impl=self.block_impl, dtype=self.dtype)
+                      grn_group=self.grn_group, block_impl=self.block_impl,
+                      gelu_approx=self.gelu_approx, dtype=self.dtype)
                 for j in range(depth)
             ])
             cur += depth
@@ -394,7 +402,7 @@ class ConvNeXtV2(nn.Module):
         x = self.initial_conv_norm(x)
         if masked:
             x = x * keep_pixel.astype(x.dtype)
-        x = gelu(x)
+        x = gelu(x, self.gelu_approx)
         x = self.stem_conv(x)
         x = self.stem_norm(x)
         if masked:
@@ -470,7 +478,7 @@ class ConvNeXtV2(nn.Module):
         else:
             xg = gather(self.initial_conv_conv(x), p_in)
             n, k = xg.shape[0], xg.shape[1]
-            xg = gelu(self.initial_conv_norm(xg))
+            xg = gelu(self.initial_conv_norm(xg), self.gelu_approx)
             y = self.stem_conv(xg.reshape(n * k, p_in, p_in, self.dims[0]))
             y = self.stem_norm(y)
             p0 = p_in // s

@@ -125,6 +125,7 @@ class FCMAE(nn.Module):
     sparse_impl: str = "gathered"  # "gathered" | "masked_dense" (see ConvNeXtV2)
     gather_impl: str = "auto"  # "pallas" | "onehot" selection (see ConvNeXtV2)
     stem_gathered: bool = False  # run stem tail on visible rows (see ConvNeXtV2)
+    gelu_approx: bool = False  # tanh GELU (opt-in; reference uses exact erf)
     loss_aggr: str = "uncertainty"  # or "unweighted"
     loss_full: bool = False
     inp_modalities: Mapping[str, Any] = None
@@ -158,6 +159,7 @@ class FCMAE(nn.Module):
             sparse_impl=self.sparse_impl,
             gather_impl=self.gather_impl,
             stem_gathered=self.stem_gathered,
+            gelu_approx=self.gelu_approx,
             dtype=self.dtype,
         )
         # FCMAE inits every nn.Conv2d with trunc_normal std 1 (fcmae.py:167-169)
@@ -170,7 +172,8 @@ class FCMAE(nn.Module):
         self.decoder = [
             Block(
                 self.decoder_embed_dim, drop_path=0.0, sparse=False,
-                dw_init=init_trunc1, pw_init=init_normal02, dtype=self.dtype,
+                dw_init=init_trunc1, pw_init=init_normal02,
+                gelu_approx=self.gelu_approx, dtype=self.dtype,
             )
             for _ in range(self.decoder_depth)
         ]

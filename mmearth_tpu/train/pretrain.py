@@ -57,6 +57,7 @@ def build_model(cfg: PretrainConfig, dtype=None) -> fcmae_lib.FCMAE:
         grn_group=cfg.data.batch_size if cfg.model.grn_scope == "per_device" else 0,
         block_impl=cfg.model.block_impl,
         sparse_impl=cfg.model.sparse_impl,
+        gelu_approx=cfg.model.gelu_approx,
         loss_aggr=cfg.run.loss_aggr,
         loss_full=cfg.run.loss_full,
         inp_modalities=cfg.data.inp_modalities,

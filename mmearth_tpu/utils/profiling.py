@@ -78,3 +78,59 @@ def time_steps(step_fn, state, batch, rng, k: int = 30, rounds: int = 4):
         float(total)
         best = min(best, (time.perf_counter() - t0) / k)
     return best, state
+
+
+def attribute_trace(log_dir: str, jitted, *args, top: int = 40) -> list[tuple[str, float]]:
+    """Attribute device time in a captured trace to model-level op names.
+
+    ``summarize_trace`` reports raw fusion names (``fusion.3677``), which are
+    opaque; this maps each device op back to its HLO definition's
+    ``op_name`` metadata (the jax source path, e.g.
+    ``jvp(FCMAE)/encoder/stages_0_0/dwconv/conv_general_dilated``), compresses
+    the path, and aggregates — the view that drove the round-2 optimization
+    work.  ``jitted``/``args`` must be the same jitted callable + example args
+    that produced the trace (its compiled HLO supplies the metadata).
+
+    Returns [(bucket, total_ms)] sorted by time, and prints them.
+    """
+    import re
+
+    txt = jitted.lower(*args).compile().as_text()
+    defs: dict[str, str] = {}
+    for m in re.finditer(r"^\s+%?([\w.\-]+) = ([^\n]*)$", txt, re.M):
+        name, rest = m.group(1), m.group(2)
+        meta = re.search(r'op_name="([^"]+)"', rest)
+        defs[name] = meta.group(1) if meta else ""
+
+    paths = sorted(glob.glob(str(Path(log_dir) / "plugins/profile/*/*.trace.json.gz")))
+    assert paths, f"no trace files under {log_dir}"
+    with gzip.open(paths[-1]) as f:
+        events = json.load(f)["traceEvents"]
+    proc = {
+        e["pid"]: e["args"]["name"]
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    agg = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and "dur" in e and "TPU" in str(proc.get(e.get("pid"), "")):
+            agg[e["name"]] += e["dur"]
+
+    import re as _re
+
+    buckets = collections.Counter()
+    for name, dur in agg.items():
+        if name.startswith("jit_") or name.startswith("while"):
+            continue
+        key = defs.get(name, "<unattributed>") or "<no-meta>"
+        key = _re.sub(r"jit\([\w_]+\)/", "", key)
+        key = _re.sub(r"while/body/closed_call/", "", key)
+        key = _re.sub(r"transpose\(jvp\(([\w_]+)\)\)/", r"BWD/", key)
+        key = _re.sub(r"jvp\(([\w_]+)\)/", r"FWD/", key)
+        key = _re.sub(r"[\w_]+\.[\w_]+/", "", key)
+        key = _re.sub(r"stages_(\d)_\d+", r"stage\1", key)
+        buckets[key[:110]] += dur
+    rows = [(k, v / 1e3) for k, v in buckets.most_common(top)]
+    for k, ms in rows:
+        print(f"{ms:9.3f} ms  {k}")
+    return rows

@@ -115,3 +115,24 @@ def test_num_workers_gather_identical(tmp_path):
     b4 = [b["x"] for b in PackedLoader(ds, 8, shuffle=True, seed=1, num_workers=4)]
     for a, b in zip(b0, b4):
         np.testing.assert_array_equal(a, b)
+
+
+def test_gelu_approx_changes_little():
+    """--gelu_approx: tanh GELU deviates from exact erf by ~1e-3 relative."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmearth_tpu.models import convnextv2 as cn
+
+    kw = dict(patch_size=8, img_size=56, in_chans=3, num_classes=5,
+              depths=(1, 1, 1, 1), dims=(8, 16, 32, 64), sparse=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 56, 56, 3))
+    m_exact = cn.ConvNeXtV2(gelu_approx=False, **kw)
+    m_tanh = cn.ConvNeXtV2(gelu_approx=True, **kw)
+    params = m_exact.init({"params": jax.random.PRNGKey(1)}, x)["params"]
+    y0 = np.asarray(m_exact.apply({"params": params}, x))
+    y1 = np.asarray(m_tanh.apply({"params": params}, x))
+    assert not np.array_equal(y0, y1)  # the flag does something
+    rel = np.abs(y0 - y1).max() / (np.abs(y0).max() + 1e-12)
+    assert rel < 5e-2, rel  # ...but stays a small perturbation
