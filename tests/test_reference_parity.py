@@ -321,3 +321,33 @@ def test_remap_golden_vs_reference_helpers():
     assert set(got) == set(want), set(got) ^ set(want)
     for k in want:
         np.testing.assert_allclose(got[k], want[k].numpy(), err_msg=k, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# other model sizes (the converter and NHWC model are size-agnostic; prove it)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("name,depths,dims", [
+    ("pico", (2, 2, 6, 2), (64, 128, 256, 512)),
+    ("tiny", (3, 3, 9, 3), (96, 192, 384, 768)),
+])
+def test_dense_classifier_parity_other_sizes(ref, name, depths, dims):
+    torch.manual_seed(0)
+    tmodel = ref.convnextv2.ConvNeXtV2(
+        patch_size=PATCH, img_size=IMG, in_chans=12, num_classes=7,
+        depths=list(depths), dims=list(dims),
+    )
+    tmodel.eval()
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = jax.tree_util.tree_map(
+        jnp.asarray, tc.torch_encoder_to_flax(sd, depths))
+
+    torch.manual_seed(2)
+    x = torch.randn(1, 12, IMG, IMG)
+    with torch.no_grad():
+        want = tmodel(x).numpy()
+    jmodel = cnx.ConvNeXtV2(
+        img_size=IMG, patch_size=PATCH, in_chans=12, num_classes=7,
+        depths=depths, dims=dims, padding_mode="reference",
+    )
+    got = np.asarray(jmodel.apply({"params": params}, _to_nhwc(x)))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
