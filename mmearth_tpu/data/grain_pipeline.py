@@ -114,6 +114,15 @@ class GrainLoader:
     ``len(loader)``) so the training drivers can swap loaders; adds
     ``get_state()/set_state()`` for mid-epoch checkpoint/resume.
 
+    Two access modes (don't mix them in one run):
+      * ``for batch in loader`` — one exact epoch per pass: every shard
+        record exactly once, partial final batch iff ``drop_last=False``,
+        per-epoch reshuffle keyed by ``set_epoch`` (seed + epoch), matching
+        ``PackedLoader``/DistributedSampler semantics.
+      * ``loader.iterator()`` — a continuous stream whose position
+        round-trips through ``get_state()/set_state()`` (mid-epoch resume;
+        FFCV and the reference restart the epoch instead).
+
     ``shard=(index, count)`` splits records across processes (equivalent to
     the reference's DistributedSampler, main_pretrain.py:301-310).
     """
@@ -126,74 +135,82 @@ class GrainLoader:
         drop_last: bool = True,
         seed: int = 0,
         shard: tuple[int, int] = (0, 1),
-        num_epochs: int | None = None,
         worker_count: int = 0,
         read_threads: int = 2,
     ):
         import grain.python as pg
 
+        self._pg = pg
         self.path = Path(path)
         meta = json.loads((self.path / "meta.json").read_text())
         self.count: int = meta["count"]
         self.fields: dict = meta["fields"]
         self.batch_size = batch_size
+        self.shuffle = shuffle
         self.drop_last = drop_last
+        self.seed = seed
+        self.shard = shard
+        self.worker_count = worker_count
+        self.read_threads = read_threads
         shard_files = [str(self.path / s) for s in meta["shards"]]
         self._source = pg.ArrayRecordDataSource(shard_files)
+        self._it = None
+        self.epoch = 0
+
+    def _make_loader(self, num_epochs, seed):
+        pg = self._pg
+        rank, world = self.shard
 
         class _Decode(pg.MapTransform):
             def map(self, record):
                 return _decode_sample(record)
 
-        rank, world = shard
-        self._sampler = pg.IndexSampler(
+        sampler = pg.IndexSampler(
             num_records=self.count,
             shard_options=pg.ShardOptions(
-                shard_index=rank, shard_count=world, drop_remainder=drop_last
+                shard_index=rank, shard_count=world, drop_remainder=self.drop_last
             ),
-            shuffle=shuffle,
+            shuffle=self.shuffle,
             num_epochs=num_epochs,
             seed=seed,
         )
-        self._loader = pg.DataLoader(
+        return pg.DataLoader(
             data_source=self._source,
-            sampler=self._sampler,
-            operations=[_Decode(), pg.Batch(batch_size, drop_remainder=drop_last)],
-            worker_count=worker_count,
-            read_options=pg.ReadOptions(num_threads=read_threads, prefetch_buffer_size=8),
+            sampler=sampler,
+            operations=[_Decode(), pg.Batch(self.batch_size, drop_remainder=self.drop_last)],
+            worker_count=self.worker_count,
+            read_options=pg.ReadOptions(
+                num_threads=self.read_threads, prefetch_buffer_size=8
+            ),
         )
-        self._it = None
-        self.shard = shard
-        self._num_epochs = num_epochs
 
     # -- PackedLoader-compatible surface ------------------------------------
     def set_epoch(self, epoch: int):
-        """No-op for parity: Grain's sampler owns the epoch->shuffle mapping
-        (each pass over the sampler advances the epoch deterministically)."""
+        """Per-epoch reshuffle (DistributedSampler.set_epoch parity): the
+        next ``__iter__`` pass samples with seed ``seed + epoch``."""
+        self.epoch = epoch
+
+    def _per_shard(self) -> int:
+        rank, world = self.shard
+        if self.drop_last:
+            return self.count // world
+        return self.count // world + (1 if rank < self.count % world else 0)
 
     def __len__(self):
-        rank, world = self.shard
-        per_shard = self.count // world if self.drop_last else -(-self.count // world)
-        n = per_shard // self.batch_size
-        if not self.drop_last and per_shard % self.batch_size:
-            n += 1
-        return n
+        per_shard = self._per_shard()
+        if self.drop_last:
+            return per_shard // self.batch_size
+        return -(-per_shard // self.batch_size)
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
-        if self._num_epochs is None:
-            # fresh epoch-sized slice of the continuous iterator
-            it = self.iterator()
-            for _ in range(len(self)):
-                yield next(it)
-        else:
-            yield from self._loader
+        yield from self._make_loader(num_epochs=1, seed=self.seed + self.epoch)
 
     # -- checkpointable continuous iterator ---------------------------------
     def iterator(self):
-        """The persistent Grain iterator (continuous across epochs when
-        ``num_epochs=None``).  Its state round-trips via get/set_state."""
+        """The persistent continuous Grain iterator (epochs advance inside
+        the sampler).  Its state round-trips via get/set_state."""
         if self._it is None:
-            self._it = iter(self._loader)
+            self._it = iter(self._make_loader(num_epochs=None, seed=self.seed))
         return self._it
 
     def get_state(self) -> bytes:

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.patch_select import _from_patches, _to_patches
 from .norm import GRN, LayerNorm, MaskedGRN
 
 Dtype = Any
@@ -73,24 +74,6 @@ def visible_ids(mask: jax.Array, num_visible: int) -> tuple[jax.Array, jax.Array
     rank = jnp.cumsum(keep, axis=1) - 1
     inv_ids = jnp.where(keep > 0, rank, num_visible)
     return kept_ids, inv_ids
-
-
-def _to_patches(x: jax.Array, grid: int) -> jax.Array:
-    """(N, H, H, C) -> (N, L, p*p, C) patch-major (L = grid^2, p = H/grid)."""
-    n, h, w, c = x.shape
-    p = h // grid
-    x = x.reshape(n, grid, p, grid, p, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(n, grid * grid, p * p, c)
-
-
-def _from_patches(x: jax.Array, grid: int, h: int) -> jax.Array:
-    """(N, L, p*p, C) -> (N, H, H, C)."""
-    n, l, pp, c = x.shape
-    p = h // grid
-    x = x.reshape(n, grid, grid, p, p, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(n, h, h, c)
 
 
 def visible_onehot(mask: jax.Array, num_visible: int, dtype=jnp.bfloat16) -> jax.Array:
@@ -199,11 +182,12 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, keep=None, deterministic: bool = True, gather_ctx=None):
-        """``gather_ctx`` = (kept_ids, inv_ids, grid, h): visible-patch mode —
-        ``x`` is the gathered (N, K, p*p, C) tensor; the depthwise conv runs
-        on the scattered dense grid, everything else on the gathered rows
-        (identical math to the masked-dense path, ~60% less work at
-        mask_ratio 0.6)."""
+        """``gather_ctx`` = ((kind, sel), grid, h) where kind is "onehot"
+        (sel = the (N, K, L) selection matrix P) or "pallas" (sel = the
+        (N, K) kept_ids): visible-patch mode — ``x`` is the gathered
+        (N, K, p*p, C) tensor; the depthwise conv runs on the scattered
+        dense grid, everything else on the gathered rows (identical math to
+        the masked-dense path, ~60% less work at mask_ratio 0.6)."""
         inp = x
         dw_init = self.dw_init or (init_trunc1 if self.sparse else init_normal02)
         pw_init = self.pw_init or (init_trunc1 if self.sparse else init_normal02)

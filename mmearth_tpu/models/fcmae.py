@@ -66,8 +66,10 @@ def aligned_random_crop(
 
     Implemented as two one-hot selection matmuls (rows then cols) over the
     channel-concatenated modalities: 0/1xvalue products are exact in f32 for
-    every stored value (ints < 2^24 included), the MXU eats the work, and the
-    VJPs are the transposed matmuls.  take_along_axis lowers to serialized
+    every stored value — all float dtypes, and ints with |v| < 2^24, which
+    covers every MMEarth modality (labels < 1100, z-normed floats); an int
+    raster with values >= 2^24 would lose low bits in the f32 round trip.
+    The MXU eats the work, and the VJPs are the transposed matmuls.  take_along_axis lowers to serialized
     per-row gathers (~2.5 ms/step at batch 256) and a vmapped dynamic_slice
     is ~100x slower still (measured 487 ms vs 4.9 ms)."""
     pixel_keys = [k for k in imgs_dict if k in pixel_wise and imgs_dict[k].ndim == 4]

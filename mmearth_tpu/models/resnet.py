@@ -127,7 +127,11 @@ class ResNetUnet(nn.Module):
 
     def __call__(self, x, train: bool = False):
         feats = self.encoder(x, train, features=True)[::-1]
-        y, skips = feats[0], feats[1:]
+        # smp's UnetDecoder drops the identity feature (features[1:] in
+        # smp.decoders.unet.decoder.UnetDecoder.forward), so the final
+        # decoder block upsamples to full resolution WITHOUT a skip — the
+        # raw input image is never concatenated in.
+        y, skips = feats[0], list(feats[1:-1]) + [None]
         for blk, skip in zip(self.decoder, skips):
             y = blk(y, skip, train)
         return self.segmentation_head(y)

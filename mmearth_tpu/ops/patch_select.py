@@ -107,7 +107,9 @@ def _scatter_call(xg, kept_ids, p: int, grid: int, h: int):
 
 
 # ---------------------------------------------------------------------------
-# jnp fallback (CPU tests / non-TPU backends)
+# jnp fallback (CPU tests / non-TPU backends).  _to_patches/_from_patches are
+# the canonical patch-major layout helpers — models/convnextv2.py imports
+# them, so the one-hot and pallas paths can never disagree on the ordering.
 # ---------------------------------------------------------------------------
 def _to_patches(x, grid: int):
     n, h, w, c = x.shape

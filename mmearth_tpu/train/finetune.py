@@ -69,7 +69,8 @@ def build_finetune_model(cfg: FinetuneConfig, in_channels: int, nb_classes: int)
 
 
 def make_finetune_step(model, criterion, is_seg: bool, has_batch_stats: bool = False,
-                       bgr_to_rgb: bool = False, ema_decay: float | None = None):
+                       bgr_to_rgb: bool = False, ema_decay: float | None = None,
+                       update_freq: int = 1):
     from .ema import update_ema
 
     def step(state: TrainState, batch, rng):
@@ -101,9 +102,15 @@ def make_finetune_step(model, criterion, is_seg: bool, has_batch_stats: bool = F
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             new_state = state.apply_gradients(grads)
         if ema_decay is not None:
-            # model EMA (reference --model_ema, main_finetune.py:96-101)
+            # model EMA (reference --model_ema, main_finetune.py:96-101).
+            # With gradient accumulation the optimizer applies an update only
+            # every ``update_freq`` micro-steps (optax.MultiSteps); the
+            # reference's engine likewise calls model_ema.update once per
+            # real update, so decay 1.0 (identity) on accumulation-only steps.
+            applied = (new_state.step % update_freq) == 0
+            decay = jnp.where(applied, ema_decay, 1.0)
             new_state = new_state.replace(
-                ema_params=update_ema(new_state.ema_params, new_state.params, ema_decay)
+                ema_params=update_ema(new_state.ema_params, new_state.params, decay)
             )
         return new_state, {"loss": loss}
 
@@ -229,7 +236,8 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
     metric_name, metric = metric_for(cfg.data_set, nb_classes)
 
     bgr_to_rgb = cfg.use_imnet_weights and cfg.geobench_bands_type == "bgr"
-    step_fn = jax.jit(make_finetune_step(model, criterion, is_seg, is_resnet, bgr_to_rgb, ema_decay), donate_argnums=(0,))
+    step_fn = jax.jit(make_finetune_step(model, criterion, is_seg, is_resnet, bgr_to_rgb, ema_decay,
+                                         update_freq=cfg.optim.update_freq), donate_argnums=(0,))
     eval_fn = jax.jit(make_eval_step(model, stats_fn, is_resnet, bgr_to_rgb))
     rng = jax.random.PRNGKey(cfg.run.seed)
 
@@ -262,7 +270,8 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
                 print(f"epoch {epoch}: unfreezing the full model (main_finetune.py:598-619)")
             state = TrainState.create(state.params, build_tx(lp.all_trainable),
                                       model_state=state.model_state, ema_params=state.ema_params)
-            step_fn = jax.jit(make_finetune_step(model, criterion, is_seg, is_resnet, bgr_to_rgb, ema_decay), donate_argnums=(0,))
+            step_fn = jax.jit(make_finetune_step(model, criterion, is_seg, is_resnet, bgr_to_rgb, ema_decay,
+                                         update_freq=cfg.optim.update_freq), donate_argnums=(0,))
 
         train_loader.set_epoch(epoch)
         logger = MetricLogger(header=f"Epoch: [{epoch}]")

@@ -36,9 +36,8 @@ def _conv_flops(eqn) -> float:
     out = eqn.outvars[0].aval
     rhs = eqn.invars[1].aval
     dn = eqn.params["dimension_numbers"]
-    g = eqn.params.get("feature_group_count", 1) * eqn.params.get(
-        "batch_group_count", 1
-    )
+    # NOTE: no division by feature_group_count — rhs.shape[rhs_spec[1]] is
+    # already the *per-group* input channel count in XLA's convention.
     spatial_k = math.prod(rhs.shape[d] for d in dn.rhs_spec[2:])
     cin = rhs.shape[dn.rhs_spec[1]]  # per-group input channels
     n_out = math.prod(out.shape)  # batch * out-spatial * cout

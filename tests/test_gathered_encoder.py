@@ -49,9 +49,8 @@ def test_gathered_matches_masked_dense(img_size, patch_size):
     m_dense = cnx.ConvNeXtV2(**kw, sparse_impl="masked_dense")
     m_gath = cnx.ConvNeXtV2(**kw, sparse_impl="gathered")
     params = m_dense.init(jax.random.PRNGKey(0), x, mask)["params"]
+
     # non-identity GRN affines
-    for s, blocks in (("stages_0_0", None),):
-        pass
     def randomize(path, leaf):
         keys = [str(getattr(p, "key", p)) for p in path]
         if "grn" in keys:
@@ -111,3 +110,28 @@ def test_fcmae_loss_identical_across_impls():
     loss_d, *_ = m_d.apply(variables, batch, rngs={"mask": jax.random.PRNGKey(5)})
     loss_g, *_ = m_g.apply(variables, batch, rngs={"mask": jax.random.PRNGKey(5)})
     np.testing.assert_allclose(float(loss_d), float(loss_g), rtol=1e-5)
+
+
+@pytest.mark.parametrize("use_orig_stem", [False, True])
+def test_stem_gathered_matches_dense_stem(use_orig_stem):
+    """stem_gathered=True (stem tail on visible rows) equals the dense stem."""
+    rng = np.random.default_rng(4)
+    n, c_in, img, patch = 2, 5, 56, 8
+    grid = img // patch
+    num_visible = int(grid * grid * 0.4)
+    x = jnp.asarray(rng.normal(size=(n, img, img, c_in)).astype(np.float32))
+    mask = fcmae_lib.gen_random_mask(jax.random.PRNGKey(5), n, grid * grid, 0.6)
+
+    kw = dict(img_size=img, patch_size=patch, in_chans=c_in, num_classes=3,
+              depths=(1, 1, 1, 1), dims=(8, 16, 32, 64), sparse=True,
+              sparse_impl="gathered", use_orig_stem=use_orig_stem)
+    m0 = cnx.ConvNeXtV2(**kw, stem_gathered=False)
+    m1 = cnx.ConvNeXtV2(**kw, stem_gathered=True)
+    params = m0.init(jax.random.PRNGKey(0), x, mask)["params"]
+
+    def run(m):
+        return m.apply({"params": params}, x, mask,
+                       method=lambda mod, a, b: mod.encode(a, b, num_visible=num_visible))
+
+    y0, y1 = run(m0), run(m1)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=2e-5, atol=2e-5)

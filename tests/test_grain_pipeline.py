@@ -44,7 +44,7 @@ def test_pack_layout(packed):
 
 
 def test_batches_cover_epoch(packed):
-    loader = gp.GrainLoader(packed, batch_size=8, shuffle=True, seed=1, num_epochs=1)
+    loader = gp.GrainLoader(packed, batch_size=8, shuffle=True, seed=1)
     seen = []
     n_batches = 0
     for batch in loader:
@@ -61,7 +61,7 @@ def test_batches_cover_epoch(packed):
 
 def test_shuffle_deterministic_and_seed_sensitive(packed):
     def labels(seed):
-        loader = gp.GrainLoader(packed, batch_size=8, seed=seed, num_epochs=1)
+        loader = gp.GrainLoader(packed, batch_size=8, seed=seed)
         return [l for b in loader for l in b["label"].tolist()]
 
     assert labels(3) == labels(3)
@@ -69,13 +69,35 @@ def test_shuffle_deterministic_and_seed_sensitive(packed):
 
 
 def test_sharding_partitions(packed):
-    a = gp.GrainLoader(packed, batch_size=4, seed=0, shard=(0, 2), num_epochs=1)
-    b = gp.GrainLoader(packed, batch_size=4, seed=0, shard=(1, 2), num_epochs=1)
+    a = gp.GrainLoader(packed, batch_size=4, seed=0, shard=(0, 2))
+    b = gp.GrainLoader(packed, batch_size=4, seed=0, shard=(1, 2))
     la = [l for bt in a for l in bt["label"].tolist()]
     lb = [l for bt in b for l in bt["label"].tolist()]
     assert len(la) == len(lb) == 20
     assert not set(la) & set(lb)
     assert sorted(la + lb) == list(range(40))
+
+
+def test_eval_pass_exact_no_duplicates(packed):
+    # drop_last=False: one exact epoch incl. the partial final batch
+    loader = gp.GrainLoader(packed, batch_size=16, shuffle=False, drop_last=False)
+    sizes = [b["label"].shape[0] for b in loader]
+    assert sizes == [16, 16, 8]
+    assert len(loader) == 3
+    seen = [l for b in loader for l in b["label"].tolist()]
+    assert sorted(seen) == list(range(40))
+
+
+def test_set_epoch_reshuffles(packed):
+    loader = gp.GrainLoader(packed, batch_size=8, seed=5)
+    loader.set_epoch(0)
+    e0 = [l for b in loader for l in b["label"].tolist()]
+    loader.set_epoch(1)
+    e1 = [l for b in loader for l in b["label"].tolist()]
+    loader.set_epoch(0)
+    e0b = [l for b in loader for l in b["label"].tolist()]
+    assert e0 != e1 and e0 == e0b
+    assert sorted(e0) == sorted(e1) == list(range(40))
 
 
 def test_midepoch_checkpoint_resume(packed):
@@ -92,7 +114,7 @@ def test_midepoch_checkpoint_resume(packed):
 
 
 def test_values_roundtrip(packed):
-    loader = gp.GrainLoader(packed, batch_size=8, shuffle=False, num_epochs=1)
+    loader = gp.GrainLoader(packed, batch_size=8, shuffle=False)
     batch = next(iter(loader))
     for j in range(8):
         i = int(batch["label"][j])
