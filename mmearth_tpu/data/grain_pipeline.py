@@ -174,11 +174,18 @@ class GrainLoader:
             num_epochs=num_epochs,
             seed=seed,
         )
+        # Grain splits records across workers BEFORE the Batch operation, so
+        # each worker batches (and drop_remainder-drops) its own slice: more
+        # workers than full batches would yield nothing, and with
+        # drop_last=False multiple workers would each emit a partial batch.
+        # Cap accordingly (count semantics stay exact).
+        workers = min(self.worker_count, self._per_shard() // self.batch_size) \
+            if self.drop_last else min(self.worker_count, 1)
         return pg.DataLoader(
             data_source=self._source,
             sampler=sampler,
             operations=[_Decode(), pg.Batch(self.batch_size, drop_remainder=self.drop_last)],
-            worker_count=self.worker_count,
+            worker_count=max(workers, 0),
             read_options=pg.ReadOptions(
                 num_threads=self.read_threads, prefetch_buffer_size=8
             ),
