@@ -87,6 +87,14 @@ def visible_onehot(mask: jax.Array, num_visible: int, dtype=jnp.bfloat16) -> jax
     return jax.nn.one_hot(kept_ids, mask.shape[1], dtype=dtype)
 
 
+def _select_precision(dtype) -> jax.lax.Precision:
+    """Selection matmuls must not quantize the selected values: JAX's default
+    TPU matmul precision multiplies f32 operands as bf16, so the f32 path
+    pins HIGHEST (bf16 operands are exact under the default — each output row
+    is 1.0 x value accumulated in f32)."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
 def gather_visible(x: jax.Array, P: jax.Array, grid: int) -> jax.Array:
     """Dense (N, H, H, C) -> gathered (N, K, p*p, C) of the visible patches.
 
@@ -101,6 +109,7 @@ def gather_visible(x: jax.Array, P: jax.Array, grid: int) -> jax.Array:
     out = jax.lax.dot_general(
         P.astype(xp.dtype), xp.reshape(n, l, pp * c),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=_select_precision(xp.dtype),
     )
     return out.reshape(n, P.shape[1], pp, c)
 
@@ -112,6 +121,7 @@ def scatter_visible(xg: jax.Array, P: jax.Array, grid: int, h: int) -> jax.Array
     dense = jax.lax.dot_general(
         P.astype(xg.dtype), xg.reshape(n, k, pp * c),
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        precision=_select_precision(xg.dtype),
     )
     return _from_patches(dense.reshape(n, P.shape[2], pp, c), grid, h)
 
@@ -175,6 +185,8 @@ class Block(nn.Module):
         if self.block_impl == "xla" or keep is None or not self.sparse:
             return False
         if self.grn_group:  # kernel implements global-batch GRN stats only
+            return False
+        if self.gelu_approx:  # kernel hard-codes the exact erf GELU
             return False
         if self.drop_path and not deterministic:
             return False

@@ -69,9 +69,14 @@ def aligned_random_crop(
     every stored value — all float dtypes, and ints with |v| < 2^24, which
     covers every MMEarth modality (labels < 1100, z-normed floats); an int
     raster with values >= 2^24 would lose low bits in the f32 round trip.
-    The MXU eats the work, and the VJPs are the transposed matmuls.  take_along_axis lowers to serialized
-    per-row gathers (~2.5 ms/step at batch 256) and a vmapped dynamic_slice
-    is ~100x slower still (measured 487 ms vs 4.9 ms)."""
+    The dots are pinned to ``Precision.HIGHEST``: JAX's default TPU matmul
+    precision multiplies f32 operands as bf16, which would quantize the raw
+    pixel values (bf16's 8 mantissa bits can't even hold the eco_region label
+    ids < 1100) — exactness must not depend on a global matmul-precision
+    config.  The MXU eats the work, and the VJPs are the transposed matmuls.
+    take_along_axis lowers to serialized per-row gathers (~2.5 ms/step at
+    batch 256) and a vmapped dynamic_slice is ~100x slower still (measured
+    487 ms vs 4.9 ms)."""
     pixel_keys = [k for k in imgs_dict if k in pixel_wise and imgs_dict[k].ndim == 4]
     if not pixel_keys:
         return dict(imgs_dict)
@@ -94,9 +99,11 @@ def aligned_random_crop(
     c = stack.shape[-1]
     y = jax.lax.dot_general(  # rows: (N,S,H) x (N,H,W*C) -> (N,S,W*C)
         R, stack.reshape(n, h, w * c), dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
     ).reshape(n, img_size, w, c)
     y = jax.lax.dot_general(  # cols: (N,S,W) x (N,S',W,C) -> (N,S,S',C)
         Cm, y, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
     ).transpose(0, 2, 1, 3)
 
     out = dict(imgs_dict)

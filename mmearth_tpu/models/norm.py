@@ -83,6 +83,18 @@ class MaskedGRN(nn.Module):
         xf = x.astype(jnp.float32)
         masked = xf * keep.astype(jnp.float32)
         n = xf.shape[0]
+        if self.group > 0 and n % self.group:
+            # A mismatched batch (e.g. changed device count) would silently
+            # change normalization semantics; fall back to global stats but
+            # say so.  (Tiny init/trace batches hit this benignly, hence a
+            # warning rather than an error.)
+            import warnings
+
+            warnings.warn(
+                f"MaskedGRN: batch {n} is not divisible by group {self.group}; "
+                "falling back to global-batch statistics for this call",
+                stacklevel=2,
+            )
         g = n if self.group <= 0 or n % self.group else min(self.group, n)
         xg = xf.reshape(n // g, g, *xf.shape[1:])
         mg = masked.reshape(n // g, g, *masked.shape[1:])
