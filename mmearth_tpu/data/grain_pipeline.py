@@ -53,6 +53,10 @@ def _decode_sample(data: bytes) -> dict[str, np.ndarray]:
         return {k: z[k] for k in z.files}
 
 
+def _stack_records(recs: Sequence[Mapping[str, np.ndarray]]) -> dict[str, np.ndarray]:
+    return {k: np.stack([r[k] for r in recs]) for k in recs[0]}
+
+
 def pack_arrayrecord(
     dataset,
     out_dir: Path | str,
@@ -155,6 +159,7 @@ class GrainLoader:
         shard_files = [str(self.path / s) for s in meta["shards"]]
         self._source = pg.ArrayRecordDataSource(shard_files)
         self._it = None
+        self._raw = None
         self.epoch = 0
 
     def _make_loader(self, num_epochs, seed):
@@ -174,20 +179,19 @@ class GrainLoader:
             num_epochs=num_epochs,
             seed=seed,
         )
-        # Grain splits records across workers BEFORE the Batch operation, so
-        # each worker batches (and drop_remainder-drops) its own slice: more
-        # workers than full batches would yield nothing, and with
-        # drop_last=False multiple workers would each emit a partial batch.
-        # Cap accordingly (count semantics stay exact).
-        workers = min(self.worker_count, self._per_shard() // self.batch_size) \
-            if self.drop_last else min(self.worker_count, 1)
+        # Workers decode records only; batching happens in the parent
+        # (_stack_records).  Putting pg.Batch in the worker ops would batch
+        # each worker's slice independently — every worker drops its own
+        # remainder under drop_remainder, silently losing up to
+        # worker_count*(batch_size-1) records per epoch and breaking
+        # "every shard record exactly once".
         return pg.DataLoader(
             data_source=self._source,
             sampler=sampler,
-            operations=[_Decode(), pg.Batch(self.batch_size, drop_remainder=self.drop_last)],
-            worker_count=max(workers, 0),
+            operations=[_Decode()],
+            worker_count=max(self.worker_count, 0),
             read_options=pg.ReadOptions(
-                num_threads=self.read_threads, prefetch_buffer_size=8
+                num_threads=self.read_threads, prefetch_buffer_size=8 * max(self.batch_size, 1)
             ),
         )
 
@@ -210,18 +214,41 @@ class GrainLoader:
         return -(-per_shard // self.batch_size)
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
-        yield from self._make_loader(num_epochs=1, seed=self.seed + self.epoch)
+        buf: list[dict] = []
+        for rec in self._make_loader(num_epochs=1, seed=self.seed + self.epoch):
+            buf.append(rec)
+            if len(buf) == self.batch_size:
+                yield _stack_records(buf)
+                buf = []
+        if buf and not self.drop_last:
+            yield _stack_records(buf)
 
     # -- checkpointable continuous iterator ---------------------------------
     def iterator(self):
-        """The persistent continuous Grain iterator (epochs advance inside
-        the sampler).  Its state round-trips via get/set_state."""
+        """The persistent continuous *batch* iterator (epochs advance inside
+        the sampler).  Its position round-trips via get/set_state: the
+        batching wrapper pulls records lazily, so between batches the
+        underlying Grain iterator sits exactly at the last emitted record."""
         if self._it is None:
-            self._it = iter(self._make_loader(num_epochs=None, seed=self.seed))
+            self._raw = iter(self._make_loader(num_epochs=None, seed=self.seed))
+            self._it = self._batched(self._raw)
         return self._it
 
+    def _batched(self, rec_it) -> Iterator[dict[str, np.ndarray]]:
+        while True:
+            buf = []
+            for rec in rec_it:
+                buf.append(rec)
+                if len(buf) == self.batch_size:
+                    break
+            if len(buf) < self.batch_size:
+                return
+            yield _stack_records(buf)
+
     def get_state(self) -> bytes:
-        return self.iterator().get_state()
+        self.iterator()
+        return self._raw.get_state()
 
     def set_state(self, state: bytes) -> None:
-        self.iterator().set_state(state)
+        self.iterator()
+        self._raw.set_state(state)

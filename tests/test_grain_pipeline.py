@@ -100,6 +100,25 @@ def test_set_epoch_reshuffles(packed):
     assert sorted(e0) == sorted(e1) == list(range(40))
 
 
+def test_multiworker_batches_exact(packed):
+    # Batching happens in the parent, AFTER the worker merge: any
+    # worker_count must yield every shard record exactly once per epoch
+    # (per-worker pg.Batch would drop each worker's remainder — up to
+    # worker_count*(batch_size-1) records lost and __len__ overcounting).
+    for wc in (2, 3):
+        loader = gp.GrainLoader(packed, batch_size=6, shuffle=True, seed=2,
+                                drop_last=True, worker_count=wc)
+        batches = list(loader)
+        assert len(batches) == len(loader) == 40 // 6
+        seen = [l for b in batches for l in b["label"].tolist()]
+        assert len(seen) == len(set(seen)) == 6 * (40 // 6)
+        # drop_last=False: all 40, exactly once
+        loader = gp.GrainLoader(packed, batch_size=6, shuffle=True, seed=2,
+                                drop_last=False, worker_count=wc)
+        seen = [l for b in loader for l in b["label"].tolist()]
+        assert sorted(seen) == list(range(40))
+
+
 def test_midepoch_checkpoint_resume(packed):
     loader = gp.GrainLoader(packed, batch_size=8, seed=7)
     it = loader.iterator()
