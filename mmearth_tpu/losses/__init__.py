@@ -1,3 +1,10 @@
+from .finetune import (  # noqa: F401
+    criterion_fn,
+    dice_loss,
+    segmentation_cross_entropy,
+    smoothed_binary_cross_entropy,
+    smoothed_cross_entropy,
+)
 from .multipretext import (  # noqa: F401
     cross_entropy,
     image_categorical_loss,

@@ -40,6 +40,33 @@ def segmentation_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Arra
     )
 
 
+def dice_loss(logits: jax.Array, target: jax.Array, num_classes: int) -> jax.Array:
+    """1 - macro Dice over hard (argmax) predictions — the reference's
+    ``DiceLoss`` (custom_loss.py:54-63: softmax -> argmax -> torchmetrics
+    ``Dice(average="macro")``).  Unused by the reference mains, ported for
+    surface parity.
+
+    Like the reference, the argmax makes this non-differentiable (zero
+    gradient); it is an eval-style criterion, not a training loss.  The
+    softmax is dropped (argmax-invariant).  Per class c over the flattened
+    predictions: dice_c = 2 TP_c / (2 TP_c + FP_c + FN_c); the macro mean
+    runs over classes with nonzero denominator (classes absent from both
+    predictions and targets are excluded, torchmetrics' macro reduction)."""
+    pred = jnp.argmax(logits.astype(jnp.float32), axis=-1).reshape(-1)
+    t = target.reshape(-1).astype(jnp.int32)
+    classes = jnp.arange(num_classes, dtype=jnp.int32)
+    p1 = pred[:, None].astype(jnp.int32) == classes[None, :]
+    t1 = t[:, None] == classes[None, :]
+    tp = jnp.sum(p1 & t1, axis=0).astype(jnp.float32)
+    fp = jnp.sum(p1 & ~t1, axis=0).astype(jnp.float32)
+    fn = jnp.sum(~p1 & t1, axis=0).astype(jnp.float32)
+    denom = 2.0 * tp + fp + fn
+    support = denom > 0
+    score = jnp.where(support, 2.0 * tp / jnp.where(support, denom, 1.0), 0.0)
+    dice = jnp.sum(score) / jnp.maximum(jnp.sum(support.astype(jnp.float32)), 1.0)
+    return 1.0 - dice
+
+
 def criterion_fn(dataset: str, smoothing: float):
     """Per-dataset criterion (main_finetune.py:40-57)."""
     if dataset == "m-bigearthnet":

@@ -113,3 +113,44 @@ def test_uncertainty_aggregation_matches_torch():
     wt = wt * (lt != 0.0)
     assert abs(float(total) - wt.sum().item()) < 1e-5
     np.testing.assert_allclose(np.asarray(weighted), wt.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_dice_loss_matches_confusion_matrix_oracle():
+    """dice_loss vs an independent numpy confusion-matrix implementation of
+    torchmetrics Dice(average='macro') on hard predictions (the reference's
+    DiceLoss, custom_loss.py:54-63; torchmetrics is not in this image, so the
+    oracle reimplements its macro reduction: per-class 2TP/(2TP+FP+FN),
+    averaged over classes with nonzero denominator)."""
+    from mmearth_tpu.losses.finetune import dice_loss
+
+    rng = np.random.default_rng(11)
+    for num_classes, shape in [(5, (4, 8, 8)), (3, (16,)), (7, (2, 6, 6))]:
+        logits = rng.normal(size=shape + (num_classes,)).astype(np.float32)
+        target = rng.integers(0, num_classes, size=shape)
+        ours = float(dice_loss(jnp.array(logits), jnp.array(target), num_classes))
+
+        pred = logits.reshape(-1, num_classes).argmax(-1)
+        t = target.reshape(-1)
+        scores, n_support = 0.0, 0
+        for c in range(num_classes):
+            tp = int(np.sum((pred == c) & (t == c)))
+            fp = int(np.sum((pred == c) & (t != c)))
+            fn = int(np.sum((pred != c) & (t == c)))
+            if 2 * tp + fp + fn > 0:
+                scores += 2 * tp / (2 * tp + fp + fn)
+                n_support += 1
+        golden = 1.0 - scores / max(n_support, 1)
+        assert abs(ours - golden) < 1e-6
+
+
+def test_dice_loss_edge_cases():
+    from mmearth_tpu.losses.finetune import dice_loss
+
+    # perfect prediction -> loss 0
+    target = np.array([0, 1, 2, 1])
+    logits = np.eye(3)[target] * 10.0
+    assert abs(float(dice_loss(jnp.array(logits), jnp.array(target), 3))) < 1e-6
+    # absent class (id 2 never appears in pred or target) excluded from macro
+    target = np.array([0, 0, 1, 1])
+    logits = np.eye(3)[[0, 0, 1, 1]] * 10.0
+    assert abs(float(dice_loss(jnp.array(logits), jnp.array(target), 3))) < 1e-6
