@@ -75,9 +75,14 @@ def _parse_stage_block(path: str) -> tuple[str, int, int]:
     if head.startswith("downsample_"):
         i = int(head.split("_")[-1])
         return "downsample_layers", i, 0
-    if head.startswith(("stem", "initial_conv")):
-        # part of the stem == downsample_layers.0 in the reference naming
-        return "downsample_layers", 0, 0
+    # NOTE the reference's modified stem modules are named ``initial_conv`` /
+    # ``stem`` / ``stem_orig`` (models/convnextv2.py:98-124), which match
+    # NEITHER prefix in get_num_layer_for_convnext_single/-_convnext
+    # (optim_factory.py:31-78) — they fall into the else branch and get the
+    # TOP layer id, i.e. the stem trains at full LR under layer decay, same
+    # as the head.  Surprising but it is the reference behavior; verified
+    # end-to-end by tests/test_trajectory_parity.py against the reference's
+    # own optim_factory.
     return "other", -1, -1
 
 

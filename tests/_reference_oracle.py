@@ -153,3 +153,37 @@ def load_reference_helpers():
     import reference.helpers as ref_helpers
 
     return ref_helpers
+
+
+def load_reference_optim_factory():
+    """Import the reference's optim_factory.py (param groups, layer decay,
+    create_optimizer) for trajectory-parity oracles.  It imports ~9
+    timm.optim submodules at module scope; only torch.optim.AdamW is
+    instantiated on the paths we exercise, so bare class stubs suffice."""
+    install_stubs()
+
+    class _NeverUsedOptimizer:
+        def __init__(self, *a, **k):
+            raise RuntimeError("timm optimizer stub must not be instantiated")
+
+    for mod_name, cls_name in [
+        ("timm.optim.adafactor", "Adafactor"),
+        ("timm.optim.adahessian", "Adahessian"),
+        ("timm.optim.adamp", "AdamP"),
+        ("timm.optim.lookahead", "Lookahead"),
+        ("timm.optim.nadam", "Nadam"),
+        ("timm.optim.nvnovograd", "NvNovoGrad"),
+        ("timm.optim.radam", "RAdam"),
+        ("timm.optim.rmsprop_tf", "RMSpropTF"),
+        ("timm.optim.sgdp", "SGDP"),
+    ]:
+        mod = _module(mod_name)
+        setattr(mod, cls_name, type(cls_name, (_NeverUsedOptimizer,), {}))
+    timm_optim = _module("timm.optim")
+    sys.modules["timm"].optim = timm_optim
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import reference.optim_factory as ref_optim_factory
+
+    return ref_optim_factory
