@@ -34,6 +34,7 @@ def _state_from_payload(state: Any, restored: dict) -> Any:
 class CheckpointIO:
     def __init__(self, output_dir: str | Path, max_to_keep: int = 3, save_interval: int = 1):
         self.directory = Path(output_dir).absolute() / "checkpoints"
+        self.max_to_keep = max_to_keep
         self.manager = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
@@ -43,11 +44,27 @@ class CheckpointIO:
             ),
         )
 
-    def save(self, epoch: int, state: Any, extra: dict | None = None):
+    def save(self, epoch: int, state: Any, extra: dict | None = None,
+             loader_state: bytes | None = None):
         payload = _state_payload(state)
         if extra:
             payload["extra"] = extra
         self.manager.save(epoch, args=ocp.args.StandardSave(payload))
+        if loader_state is not None and jax.process_index() == 0:
+            # input-pipeline position (e.g. the Grain iterator state) rides
+            # alongside the epoch checkpoint so a resumed run continues the
+            # stream on exactly the next sample (the reference instead
+            # restarts the epoch, helpers.py:568-610)
+            (self.directory / f"loader-{epoch}.bin").write_bytes(loader_state)
+            kept = sorted(
+                int(p.stem.split("-")[1]) for p in self.directory.glob("loader-*.bin")
+            )
+            for old in kept[: -self.max_to_keep]:
+                (self.directory / f"loader-{old}.bin").unlink(missing_ok=True)
+
+    def loader_state(self, epoch: int) -> bytes | None:
+        p = self.directory / f"loader-{epoch}.bin"
+        return p.read_bytes() if p.exists() else None
 
     def wait(self):
         self.manager.wait_until_finished()
@@ -95,6 +112,20 @@ def restore_explicit(state: Any, path: str | Path):
     state = _state_from_payload(state, restored)
     manager.close()
     return state, epoch
+
+
+def find_loader_state(path: str | Path, epoch: int) -> bytes | None:
+    """Locate the ``loader-<epoch>.bin`` saved beside an explicit ``--resume``
+    checkpoint (same root-resolution rules as :func:`restore_explicit`)."""
+    p = Path(path).absolute()
+    if p.name.isdigit() and (p / "default").exists():
+        root = p.parent
+    elif (p / "checkpoints").is_dir():
+        root = p / "checkpoints"
+    else:
+        root = p
+    f = root / f"loader-{epoch}.bin"
+    return f.read_bytes() if f.exists() else None
 
 
 def save_params(path: str | Path, params: Any):

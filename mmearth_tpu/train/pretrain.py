@@ -144,6 +144,13 @@ def run_pretrain(cfg: PretrainConfig):
     params = mesh_lib.shard_params(params, mesh)
     state = TrainState.create(params, tx)
 
+    # Grain runs train off the continuous checkpointable iterator: the stream
+    # position is saved with each checkpoint and restored on resume, so a
+    # killed run continues on exactly the next sample (the reference restarts
+    # the epoch instead, helpers.py:568-610).
+    grain_stream = cfg.data.loader == "grain" and hasattr(loader, "iterator")
+    restored_loader_state = None
+
     ckpt = CheckpointIO(cfg.run.output_dir, cfg.run.save_ckpt_num, cfg.run.save_ckpt_freq) if cfg.run.output_dir and cfg.run.save_ckpt else None
     start_epoch = cfg.run.start_epoch
     if cfg.run.resume:
@@ -166,10 +173,12 @@ def run_pretrain(cfg: PretrainConfig):
             if is_main:
                 print(f"resumed params from torch checkpoint {rp}")
         else:
-            from ..checkpoints.orbax_io import restore_explicit
+            from ..checkpoints.orbax_io import find_loader_state, restore_explicit
 
             state, resumed = restore_explicit(state, rp)
             start_epoch = resumed + 1
+            if grain_stream:
+                restored_loader_state = find_loader_state(rp, resumed)
             if is_main:
                 print(f"resumed from {rp} (epoch {resumed})")
         state = mesh_lib.place_state(state, mesh)
@@ -178,7 +187,14 @@ def run_pretrain(cfg: PretrainConfig):
         if resumed is not None:
             state = mesh_lib.place_state(state, mesh)
             start_epoch = resumed + 1
+            if grain_stream:
+                restored_loader_state = ckpt.loader_state(resumed)
             print(f"auto-resumed from epoch {resumed}")
+
+    if grain_stream and restored_loader_state is not None:
+        loader.set_state(restored_loader_state)
+        if is_main:
+            print("restored grain loader position (mid-stream resume)")
 
     step_fn = jax.jit(make_pretrain_step(model, cfg.data.random_crop), donate_argnums=(0,))
     k = max(cfg.run.steps_per_dispatch, 1)
@@ -194,11 +210,19 @@ def run_pretrain(cfg: PretrainConfig):
     history = []
     t_start = time.time()
     for epoch in range(start_epoch, cfg.run.epochs):
-        loader.set_epoch(epoch)
         logger = MetricLogger(header=f"Epoch: [{epoch}]")
         pending = None
         niter = len(loader)
-        batch_iter = iter(loader) if k == 1 else _chunked_batches(iter(loader), k)
+        if grain_stream:
+            # continuous stream: len(loader) batches per "epoch"; the sampler
+            # reshuffles internally at epoch boundaries; position persists
+            import itertools
+
+            epoch_iter = itertools.islice(loader.iterator(), niter)
+        else:
+            loader.set_epoch(epoch)
+            epoch_iter = iter(loader)
+        batch_iter = epoch_iter if k == 1 else _chunked_batches(epoch_iter, k)
         niter = niter if k == 1 else -(-niter // k)
         for i, host_batch in logger.log_every(batch_iter, total=niter):
             if k == 1 or host_batch["sentinel2"].ndim == 4:
@@ -242,7 +266,8 @@ def run_pretrain(cfg: PretrainConfig):
                 payload.update({f"log_var_{i}": v for i, v in enumerate(log_vars)})
             wandb.log(payload)
         if ckpt is not None and ((epoch + 1) % cfg.run.save_ckpt_freq == 0 or epoch + 1 == cfg.run.epochs):
-            ckpt.save(epoch, state)
+            ckpt.save(epoch, state,
+                      loader_state=loader.get_state() if grain_stream else None)
 
     if ckpt is not None:
         ckpt.wait()

@@ -146,3 +146,41 @@ def test_pretrain_grain_loader(synth_dir, tmp_path):
     assert np.isfinite(history[0]["loss"])
     assert int(state.step) == 21 // 8  # same step count as the mmpack loader
     assert (tmp_path / "proc" / "train_arrayrecord" / "meta.json").exists()
+
+
+@pytest.mark.slow
+def test_pretrain_grain_midstream_resume(synth_dir, tmp_path):
+    """A grain run killed between epochs resumes the *stream*, not the epoch:
+    the checkpoint carries the Grain iterator position (loader-<epoch>.bin)
+    and the resumed run continues on exactly the next sample.  Proven by
+    byte-equality of the stream position after epoch 1 between an unbroken
+    2-epoch run and a 1-epoch-then-resume run."""
+    import main_pretrain
+    from mmearth_tpu.data import grain_pipeline as gp
+
+    if not gp.have_grain():
+        pytest.skip("grain not installed")
+
+    def run(out, epochs):
+        args = main_pretrain.get_args_parser().parse_args(
+            [
+                "--data_dir", str(synth_dir),
+                "--processed_dir", str(tmp_path / "proc_resume"),
+                "--output_dir", str(out),
+                "--model", "convnextv2_atto",
+                "--input_size", "56", "--patch_size", "8",
+                "--batch_size", "1", "--epochs", str(epochs),
+                "--warmup_epochs", "1", "--loader", "grain",
+                "--use_bf16", "False", "--save_ckpt_freq", "1",
+            ]
+        )
+        return main_pretrain.main(args)
+
+    run(tmp_path / "A", 2)                     # unbroken 2-epoch run
+    run(tmp_path / "B", 1)                     # "killed" after epoch 0
+    state, history = run(tmp_path / "B", 2)    # auto-resume -> epoch 1
+    assert len(history) == 1 and history[0]["epoch"] == 1
+
+    a = (tmp_path / "A" / "checkpoints" / "loader-1.bin").read_bytes()
+    b = (tmp_path / "B" / "checkpoints" / "loader-1.bin").read_bytes()
+    assert a == b, "resumed run's stream position diverged from the unbroken run"
