@@ -178,7 +178,7 @@ class Block(nn.Module):
     dw_init: Optional[Any] = None
     pw_init: Optional[Any] = None
     grn_group: int = 0  # MaskedGRN stats scope (0 = global batch)
-    block_impl: str = "auto"  # "auto" | "xla" | "fused"
+    block_impl: str = "auto"  # "auto" | "xla" | "fused" | "spillg"
     gelu_approx: bool = False  # tanh GELU instead of reference-exact erf
 
     def _fused_active(self, keep, deterministic) -> bool:
@@ -191,6 +191,19 @@ class Block(nn.Module):
         if self.drop_path and not deterministic:
             return False
         return self.block_impl == "fused"
+
+    def _spillg_active(self, deterministic) -> bool:
+        """Spill-g fused MLP on the gathered (all-visible) rows
+        (ops/fused_block.py::fused_block_mlp_spillg)."""
+        if self.block_impl != "spillg":
+            return False
+        if self.grn_group:  # kernel implements global-batch GRN stats only
+            return False
+        if self.gelu_approx:  # kernel hard-codes the exact erf GELU
+            return False
+        if self.drop_path and not deterministic:
+            return False
+        return True
 
     @nn.compact
     def __call__(self, x, keep=None, deterministic: bool = True, gather_ctx=None):
@@ -228,6 +241,28 @@ class Block(nn.Module):
             else:
                 xd = scatter_visible(x, sel, grid, h)
                 t = gather_visible(dwconv(xd), sel, grid)
+            if self._spillg_active(deterministic):
+                # Create the identical param set via dummy calls (dead-code
+                # eliminated; only the variables persist), then hand the raw
+                # params to the spill-g kernel.
+                d = t[:1, :1, :1, :]
+                d4 = pw1(norm(d))
+                masked_grn(d4, jnp.ones(d.shape[:-1] + (1,), t.dtype))
+                pw2(d4)
+                DropPath(self.drop_path, name="drop_path")(d, deterministic)
+                p = self.variables["params"]
+                n, k, pp, c = t.shape
+                from ..ops.fused_block import fused_block_mlp_spillg
+
+                y = fused_block_mlp_spillg(
+                    t.reshape(n * k * pp, c), inp.reshape(n * k * pp, c),
+                    p["norm"]["scale"], p["norm"]["bias"],
+                    p["pwconv1"]["kernel"], p["pwconv1"]["bias"],
+                    p["grn"]["gamma"], p["grn"]["beta"],
+                    p["pwconv2"]["kernel"], p["pwconv2"]["bias"],
+                    jax.default_backend() not in ("tpu",),  # interpret off-TPU
+                )
+                return y.reshape(t.shape)
             u = gelu(pw1(norm(t)), self.gelu_approx)
             ones = jnp.ones(t.shape[:-1] + (1,), t.dtype)
             u = masked_grn(u, ones)  # all gathered rows visible; group = N axis

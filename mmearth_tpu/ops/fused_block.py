@@ -355,6 +355,309 @@ fused_block_mlp.defvjp(_fwd_rule, _bwd_rule)
 
 
 # ---------------------------------------------------------------------------
+# spill-g variant (gathered path: all rows visible, keep == 1)
+#
+# The recompute-based kernel above loses to XLA because it evaluates the
+# erf-GELU twice in the forward (phase 1 recomputes LN+matmul+gelu) and twice
+# more in the backward.  This variant *spills* g = gelu(v) to HBM between the
+# two phases instead: each transcendental is evaluated exactly once per
+# direction (fwd: gelu; bwd: gelu-grad), at the cost of one extra (M, 4C)
+# bf16 write+read per direction — 0.12 ms of HBM traffic per stage-0 block
+# vs ~1 ms of recompute.  ROADMAP.md round-2 named this the one untried
+# lever.
+#
+# MEASURED RESULT (negative; kept as the documented end of this avenue,
+# selected by ``--block_impl spillg``): full-step in-process A/B at atto/256
+# on v5e (scripts/ab_spillg.py): 58.92 ms/step vs 48.28 ms for the XLA
+# lowering (22% slower), loss agreement 1.1e-5 relative.  The recompute
+# savings are real but are outweighed by (a) 4 pallas_call dispatches per
+# block vs XLA's fused schedule, (b) C=40/80 lane padding — every (TM, C)
+# elementwise op uses 40 of 128 lanes, where XLA is free to pick packed
+# layouts, and (c) no overlap between the kernel's MXU matmuls and
+# neighboring XLA ops.  Seventh alternative measured losing to XLA on this
+# step (ROADMAP.md); the perf bound now rests on the roofline
+# (ROOFLINE.json), not on untried ideas.
+# ---------------------------------------------------------------------------
+def _sg_fwd_a_kernel(t_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
+                     g_ref, gx_ref, acc_ref, *, m_valid: int):
+    """Phase A: LN -> pw1 -> gelu; writes g and accumulates the GRN sumsq
+    (of the *stored* g, matching the XLA path where g lives in bf16).
+    Rows past ``m_valid`` are padding: their g is zeroed here so they
+    contribute nothing to the statistic nor to any backward reduction."""
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    tm = t_ref.shape[0]
+    cd = _mm_dtype(t_ref.dtype)
+    t = t_ref[...].astype(jnp.float32)
+    u, _, _ = _ln_forward(t, lns_ref[...].astype(jnp.float32),
+                          lnb_ref[...].astype(jnp.float32))
+    v = _mm(u, w1_ref[...], cd) + b1_ref[...].astype(jnp.float32)
+    rows = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+    valid = (rows < m_valid).astype(jnp.float32)
+    g_ref[...] = (_gelu(v) * valid).astype(g_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    g = g_ref[...].astype(jnp.float32)
+    acc_ref[...] += jnp.sum(g * g, axis=0, keepdims=True)
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        gx_ref[...] = jnp.sqrt(acc_ref[...])
+
+
+def _sg_fwd_b_kernel(g_ref, x_ref, gx_ref, gm_ref, bt_ref, w2_ref, b2_ref,
+                     y_ref):
+    """Phase B: GRN apply -> pw2 -> residual."""
+    cd = _mm_dtype(y_ref.dtype)
+    g = g_ref[...].astype(jnp.float32)
+    gx = gx_ref[...]
+    nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + GRN_EPS)
+    h = gm_ref[...].astype(jnp.float32) * (g * nx) + bt_ref[...].astype(jnp.float32) + g
+    o = _mm(h, w2_ref[...], cd) + b2_ref[...].astype(jnp.float32)
+    y_ref[...] = (x_ref[...].astype(jnp.float32) + o).astype(y_ref.dtype)
+
+
+def _sg_bwd_c_kernel(dy_ref, g_ref, gx_ref, gm_ref, bt_ref, w2_ref,
+                     dw2_out, db2_out, dg_out, dbt_out, dnx_out,
+                     dw2_acc, db2_acc, dg_acc, dbt_acc, dnx_acc):
+    """Backward phase C: global reductions that gate dgx — dw2/db2/dgamma/
+    dbeta and dnx.  Reads dy and the spilled g only (h is recomputed
+    elementwise from g)."""
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    cd = _mm_dtype(dy_ref.dtype)
+    dy = dy_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    gx = gx_ref[...]
+    nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + GRN_EPS)
+    gamma = gm_ref[...].astype(jnp.float32)
+    dh = _mm(dy, w2_ref[...].T, cd)
+    h = gamma * (g * nx) + bt_ref[...].astype(jnp.float32) + g
+
+    @pl.when(i == 0)
+    def _():
+        dw2_acc[...] = jnp.zeros_like(dw2_acc)
+        db2_acc[...] = jnp.zeros_like(db2_acc)
+        dg_acc[...] = jnp.zeros_like(dg_acc)
+        dbt_acc[...] = jnp.zeros_like(dbt_acc)
+        dnx_acc[...] = jnp.zeros_like(dnx_acc)
+
+    dw2_acc[...] += _mm(h.T, dy, cd)
+    db2_acc[...] += jnp.sum(dy, axis=0, keepdims=True)
+    dg_acc[...] += jnp.sum(dh * (g * nx), axis=0, keepdims=True)
+    dbt_acc[...] += jnp.sum(dh, axis=0, keepdims=True)
+    dnx_acc[...] += jnp.sum(dh * gamma * g, axis=0, keepdims=True)
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        dw2_out[...] = dw2_acc[...]
+        db2_out[...] = db2_acc[...]
+        dg_out[...] = dg_acc[...]
+        dbt_out[...] = dbt_acc[...]
+        dnx_out[...] = dnx_acc[...]
+
+
+def _sg_bwd_d_kernel(t_ref, dy_ref, g_ref, gx_ref, dgxg_ref,
+                     lns_ref, lnb_ref, w1_ref, b1_ref, gm_ref, w2_ref,
+                     dt_ref, dw1_out, db1_out, dlns_out, dlnb_out,
+                     dw1_acc, db1_acc, dlns_acc, dlnb_acc):
+    """Backward phase D: dt and the pw1/LN gradients.  Recomputes u and v
+    (one cheap MXU matmul) but NOT gelu — gelu-grad(v) is the only
+    transcendental, evaluated once."""
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    cd = _mm_dtype(t_ref.dtype)
+    t = t_ref[...].astype(jnp.float32)
+    dy = dy_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    lns = lns_ref[...].astype(jnp.float32)
+    gamma = gm_ref[...].astype(jnp.float32)
+    gx = gx_ref[...]
+    nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + GRN_EPS)
+
+    u, uhat, r = _ln_forward(t, lns, lnb_ref[...].astype(jnp.float32))
+    v = _mm(u, w1_ref[...], cd) + b1_ref[...].astype(jnp.float32)
+    dh = _mm(dy, w2_ref[...].T, cd)
+    dg_total = dh * (gamma * nx + 1.0) + g * dgxg_ref[...]
+    dv = dg_total * _gelu_grad(v)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_acc[...] = jnp.zeros_like(dw1_acc)
+        db1_acc[...] = jnp.zeros_like(db1_acc)
+        dlns_acc[...] = jnp.zeros_like(dlns_acc)
+        dlnb_acc[...] = jnp.zeros_like(dlnb_acc)
+
+    dw1_acc[...] += _mm(u.T, dv, cd)
+    db1_acc[...] += jnp.sum(dv, axis=0, keepdims=True)
+    du = _mm(dv, w1_ref[...].T, cd)
+    dlns_acc[...] += jnp.sum(du * uhat, axis=0, keepdims=True)
+    dlnb_acc[...] += jnp.sum(du, axis=0, keepdims=True)
+    da = du * lns
+    mean_da = jnp.mean(da, axis=-1, keepdims=True)
+    mean_dau = jnp.mean(da * uhat, axis=-1, keepdims=True)
+    dt_ref[...] = (r * (da - mean_da - uhat * mean_dau)).astype(dt_ref.dtype)
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        dw1_out[...] = dw1_acc[...]
+        db1_out[...] = db1_acc[...]
+        dlns_out[...] = dlns_acc[...]
+        dlnb_out[...] = dlnb_acc[...]
+
+
+def _sg_tile(c4: int) -> int:
+    if c4 >= 1280:
+        return 256
+    return 512 if c4 > 512 else 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def fused_block_mlp_spillg(t, x_res, ln_scale, ln_bias, w1, b1, gamma, beta,
+                           w2, b2, interpret: bool = False):
+    """y = x_res + GRN(gelu(LN(t) @ w1 + b1)) @ w2 + b2 — all rows visible
+    (the gathered encoder path).  GRN statistics over all rows (global
+    batch).  t, x_res: (M, C); returns (M, C) in t.dtype."""
+    y, _, _ = _sg_fwd(t, x_res, ln_scale, ln_bias, w1, b1, gamma, beta, w2, b2, interpret)
+    return y
+
+
+def _sg_fwd(t, x_res, ln_scale, ln_bias, w1, b1, gamma, beta, w2, b2, interpret):
+    m, c = t.shape
+    c4 = w1.shape[1]
+    tm = _sg_tile(c4)
+    tp = _pad_rows(t, tm)
+    n_tiles = tp.shape[0] // tm
+
+    row = lambda cc: pl.BlockSpec((tm, cc), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    g, gx = pl.pallas_call(
+        functools.partial(_sg_fwd_a_kernel, m_valid=m),
+        grid=(n_tiles,),
+        in_specs=[row(c), full((1, c)), full((1, c)), full((c, c4)), full((1, c4))],
+        out_specs=[row(c4), full((1, c4))],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp.shape[0], c4), t.dtype),
+            jax.ShapeDtypeStruct((1, c4), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, c4), jnp.float32)],
+        interpret=interpret,
+    )(tp, ln_scale.reshape(1, c), ln_bias.reshape(1, c), w1, b1.reshape(1, c4))
+
+    xp = _pad_rows(x_res, tm)
+    y = pl.pallas_call(
+        _sg_fwd_b_kernel,
+        grid=(n_tiles,),
+        in_specs=[row(c4), row(c), full((1, c4)), full((1, c4)), full((1, c4)),
+                  full((c4, c)), full((1, c))],
+        out_specs=row(c),
+        out_shape=jax.ShapeDtypeStruct(tp.shape, t.dtype),
+        interpret=interpret,
+    )(g, xp, gx, gamma.reshape(1, c4), beta.reshape(1, c4), w2, b2.reshape(1, c))
+    return y[:m], g, gx
+
+
+def _sg_fwd_rule(t, x_res, ln_scale, ln_bias, w1, b1, gamma, beta, w2, b2, interpret):
+    y, g, gx = _sg_fwd(t, x_res, ln_scale, ln_bias, w1, b1, gamma, beta, w2, b2, interpret)
+    return y, (t, g, gx, ln_scale, ln_bias, w1, b1, gamma, beta, w2, b2)
+
+
+def _sg_bwd_rule(interpret, res, dy):
+    t, g, gx, ln_scale, ln_bias, w1, b1, gamma, beta, w2, b2 = res
+    m, c = t.shape
+    c4 = w1.shape[1]
+    tm = _sg_tile(c4)
+    tp, dyp = _pad_rows(t, tm), _pad_rows(dy, tm)
+    n_tiles = tp.shape[0] // tm
+
+    row = lambda cc: pl.BlockSpec((tm, cc), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    dw2, db2, dgamma, dbeta, dnx = pl.pallas_call(
+        _sg_bwd_c_kernel,
+        grid=(n_tiles,),
+        in_specs=[row(c), row(c4), full((1, c4)), full((1, c4)), full((1, c4)),
+                  full((c4, c))],
+        out_specs=[full((c4, c)), full((1, c)), full((1, c4)), full((1, c4)),
+                   full((1, c4))],
+        out_shape=[
+            jax.ShapeDtypeStruct((c4, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c4), jnp.float32),
+            jax.ShapeDtypeStruct((1, c4), jnp.float32),
+            jax.ShapeDtypeStruct((1, c4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c4, c), jnp.float32), pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((1, c4), jnp.float32), pltpu.VMEM((1, c4), jnp.float32),
+            pltpu.VMEM((1, c4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dyp, g, gx, gamma.reshape(1, c4), beta.reshape(1, c4), w2)
+
+    # dgx from dnx (tiny, in XLA): nx_c = gx_c / (mean_k gx_k + eps)
+    mean_gx = jnp.mean(gx, axis=-1, keepdims=True)
+    denom = mean_gx + GRN_EPS
+    dgx = dnx / denom - jnp.sum(dnx * gx, axis=-1, keepdims=True) / (denom * denom) / c4
+    dgxg = jnp.where(gx > 0, dgx / gx, 0.0)
+
+    dt, dw1, db1, dlns, dlnb = pl.pallas_call(
+        _sg_bwd_d_kernel,
+        grid=(n_tiles,),
+        in_specs=[row(c), row(c), row(c4), full((1, c4)), full((1, c4)),
+                  full((1, c)), full((1, c)), full((c, c4)), full((1, c4)),
+                  full((1, c4)), full((c4, c))],
+        out_specs=[row(c), full((c, c4)), full((1, c4)), full((1, c)), full((1, c))],
+        out_shape=[
+            jax.ShapeDtypeStruct(tp.shape, t.dtype),
+            jax.ShapeDtypeStruct((c, c4), jnp.float32),
+            jax.ShapeDtypeStruct((1, c4), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, c4), jnp.float32), pltpu.VMEM((1, c4), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32), pltpu.VMEM((1, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tp, dyp, g, gx, dgxg, ln_scale.reshape(1, c), ln_bias.reshape(1, c),
+      w1, b1.reshape(1, c4), gamma.reshape(1, c4), w2)
+
+    cast = lambda a, like: a.reshape(like.shape).astype(like.dtype)
+    return (
+        dt[:m], dy,
+        cast(dlns, ln_scale), cast(dlnb, ln_bias),
+        cast(dw1, w1), cast(db1, b1),
+        cast(dgamma, gamma), cast(dbeta, beta),
+        cast(dw2, w2), cast(db2, b2),
+    )
+
+
+fused_block_mlp_spillg.defvjp(_sg_fwd_rule, _sg_bwd_rule)
+
+
+def fused_block_mlp_spillg_reference(t, x_res, ln_scale, ln_bias, w1, b1,
+                                     gamma, beta, w2, b2):
+    """Math spec of the spill-g path: identical to fused_block_mlp_reference
+    with keep == 1 except the GRN sumsq sees the bf16-*stored* g (as both the
+    kernel and the XLA path do)."""
+    cd = _mm_dtype(t.dtype)
+    t32 = t.astype(jnp.float32)
+    u, _, _ = _ln_forward(t32, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32))
+    v = _mm(u, w1, cd) + b1.astype(jnp.float32)
+    g = _gelu(v).astype(t.dtype).astype(jnp.float32)
+    gx = jnp.sqrt(jnp.sum(g * g, axis=0, keepdims=True))
+    nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + GRN_EPS)
+    h = gamma.astype(jnp.float32) * (g * nx) + beta.astype(jnp.float32) + g
+    o = _mm(h, w2, cd) + b2.astype(jnp.float32)
+    return (x_res.astype(jnp.float32) + o).astype(t.dtype)
+
+
+# ---------------------------------------------------------------------------
 # pure-jnp reference (for tests and as the math spec)
 # ---------------------------------------------------------------------------
 def fused_block_mlp_reference(t, x_res, keep, ln_scale, ln_bias, w1, b1, gamma, beta, w2, b2):

@@ -53,3 +53,46 @@ def test_fused_auto_falls_back_off_tpu():
     assert not b._fused_active(jnp.ones((1, 4, 4, 1)), True)
     b2 = Block(8, sparse=True, block_impl="fused", grn_group=4)
     assert not b2._fused_active(jnp.ones((1, 4, 4, 1)), True)
+
+
+def test_spillg_block_impl_matches_xla_gathered():
+    """block_impl="spillg" in the gathered (gather_ctx) mode must match the
+    composed XLA path — identical param tree, forward, and gradients."""
+    from mmearth_tpu.models.convnextv2 import visible_onehot
+
+    rng = np.random.default_rng(1)
+    N, C = 2, 16
+    grid, p, K = 4, 2, 6  # 16 patches, 6 visible, (N, K, p*p, C) rows
+    h = grid * p
+    mask = np.ones((N, grid * grid), np.float32)
+    for i in range(N):
+        mask[i, rng.permutation(grid * grid)[:K]] = 0.0
+    P = visible_onehot(jnp.asarray(mask), K, jnp.float32)
+    xg = jnp.asarray(rng.normal(size=(N, K, p * p, C)).astype(np.float32))
+    ctx = (("onehot", P), grid, h)
+
+    bx = Block(C, sparse=True, block_impl="xla")
+    bs = Block(C, sparse=True, block_impl="spillg")
+    params = bx.init(jax.random.PRNGKey(0), xg, None, True, ctx)["params"]
+    params["grn"]["gamma"] = jnp.asarray(rng.normal(size=(4 * C,)).astype(np.float32))
+    params["grn"]["beta"] = jnp.asarray(rng.normal(size=(4 * C,)).astype(np.float32))
+
+    shapes = lambda pr: jax.tree_util.tree_map(lambda a: tuple(a.shape), pr)
+    assert shapes(bs.init(jax.random.PRNGKey(0), xg, None, True, ctx)["params"]) == shapes(params)
+
+    yx = bx.apply({"params": params}, xg, None, True, ctx)
+    ys = bs.apply({"params": params}, xg, None, True, ctx)
+    np.testing.assert_allclose(np.asarray(yx), np.asarray(ys), rtol=2e-4, atol=5e-4)
+
+    def loss(mod, pr):
+        return (mod.apply({"params": pr}, xg, None, True, ctx) ** 2).sum()
+
+    gx = jax.grad(lambda pr: loss(bx, pr))(params)
+    gs = jax.grad(lambda pr: loss(bs, pr))(params)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gx), jax.tree_util.tree_leaves_with_path(gs)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-3,
+                                   err_msg=jax.tree_util.keystr(path))

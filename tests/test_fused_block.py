@@ -73,3 +73,72 @@ def test_masked_sites_untouched():
     y = fb.fused_block_mlp(*[a[k] for k in ORDER], True)
     masked = np.asarray(a["keep"])[:, 0] == 0
     np.testing.assert_array_equal(np.asarray(y)[masked], np.asarray(a["x_res"])[masked])
+
+
+# ---------------------------------------------------------------------------
+# spill-g variant (gathered path, all rows visible)
+# ---------------------------------------------------------------------------
+SG_ORDER = ("t", "x_res", "ln_scale", "ln_bias", "w1", "b1", "gamma", "beta", "w2", "b2")
+
+
+def test_spillg_forward_matches_reference():
+    a = _make()
+    y_k = fb.fused_block_mlp_spillg(*[a[k] for k in SG_ORDER], True)
+    y_r = fb.fused_block_mlp_spillg_reference(*[a[k] for k in SG_ORDER])
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_r), rtol=2e-2, atol=2e-2)
+
+
+def test_spillg_forward_nondivisible_rows():
+    # padded rows must not pollute the global GRN statistic
+    a_full = _make(m=1024, seed=5)
+    a_cut = {k: (v[:900] if k in ("t", "x_res") else v) for k, v in a_full.items()}
+    y_k = fb.fused_block_mlp_spillg(*[a_cut[k] for k in SG_ORDER], True)
+    y_r = fb.fused_block_mlp_spillg_reference(*[a_cut[k] for k in SG_ORDER])
+    assert y_k.shape == (900, 40)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_r), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("argnum,name", list(enumerate(SG_ORDER)))
+def test_spillg_vjp_matches_reference(argnum, name):
+    a = _make(m=320, c=16, seed=1)
+    args = [a[k] for k in SG_ORDER]
+    rng = np.random.default_rng(2)
+    dy = jnp.asarray(rng.normal(size=(320, 16)).astype(np.float32))
+
+    kfn = functools.partial(fb.fused_block_mlp_spillg, interpret=True)
+    _, vjp_k = jax.vjp(lambda *xs: kfn(*xs), *args)
+    _, vjp_r = jax.vjp(lambda *xs: fb.fused_block_mlp_spillg_reference(*xs), *args)
+    gk = vjp_k(dy)[argnum]
+    gr = vjp_r(dy)[argnum]
+    scale = max(float(jnp.max(jnp.abs(gr))), 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(gk) / scale, np.asarray(gr) / scale, rtol=3e-2, atol=3e-2,
+        err_msg=name,
+    )
+
+
+def test_spillg_vjp_nondivisible_rows():
+    a = _make(m=700, seed=7)
+    args = [a[k] for k in SG_ORDER]
+    rng = np.random.default_rng(8)
+    dy = jnp.asarray(rng.normal(size=(700, 40)).astype(np.float32))
+    kfn = functools.partial(fb.fused_block_mlp_spillg, interpret=True)
+    _, vjp_k = jax.vjp(lambda *xs: kfn(*xs), *args)
+    _, vjp_r = jax.vjp(lambda *xs: fb.fused_block_mlp_spillg_reference(*xs), *args)
+    for i, name in enumerate(SG_ORDER):
+        gk, gr = vjp_k(dy)[i], vjp_r(dy)[i]
+        scale = max(float(jnp.max(jnp.abs(gr))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(gk) / scale, np.asarray(gr) / scale, rtol=3e-2, atol=3e-2,
+            err_msg=name,
+        )
+
+
+def test_spillg_matches_masked_kernel_when_all_visible():
+    """With keep == 1 the two kernels compute the same function (up to the
+    bf16 storage of g, which only the spill-g spec rounds; f32 here)."""
+    a = _make(m=512, c=24, seed=9)
+    a["keep"] = jnp.ones_like(a["keep"])
+    y_m = fb.fused_block_mlp(*[a[k] for k in ORDER], True)
+    y_s = fb.fused_block_mlp_spillg(*[a[k] for k in SG_ORDER], True)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_m), rtol=2e-2, atol=2e-2)
