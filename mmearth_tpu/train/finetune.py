@@ -176,6 +176,20 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
     # --- checkpoint bootstrap + freezing (helpers.py:799-1002)
     depths = model_size(cfg.model.model)[0] if not is_resnet else (2, 2, 2, 2)
     if cfg.finetune and not is_resnet:
+        if (str(cfg.finetune).endswith((".pth", ".pt"))
+                and cfg.model.padding_mode == "same"
+                and "unet" not in cfg.model.model and is_main):
+            # reference-trained weights + our SAME padding = a different
+            # border geometry than the checkpoint was evaluated with
+            # (reference convnextv2.py:109,114-124).  Measured deviation on
+            # identical weights: see PARITY.md "Padding".
+            print(
+                "WARNING: finetuning from a torch .pth with padding_mode='same'.\n"
+                "  The reference's dense model uses VALID initial_conv + stride//2 stem\n"
+                "  padding; to replicate its published finetune geometry exactly, pass\n"
+                "  --padding_mode reference.  (SAME is self-consistent for checkpoints\n"
+                "  pretrained by this framework.)"
+            )
         enc = lp.encoder_tree_from_checkpoint(cfg.finetune, depths, cfg.model.use_orig_stem)
         params = lp.load_encoder_into(params, enc)
         params = lp.reinit_head(params, cfg.run.seed)

@@ -32,8 +32,21 @@ def main():
     from bench import _pretrain_setup
     from mmearth_tpu.parallel import mesh as mesh_lib
 
+    from mmearth_tpu.train import optim as optim_lib
+    from mmearth_tpu.train.schedule import warmup_cosine
+    from mmearth_tpu.train.step import TrainState
+
     model, mesh, state, step, batch_np, batch, n_chips = _pretrain_setup(
         56, 8, "convnextv2_atto", 256)
+    # bench's _pretrain_setup builds the production 200-epoch schedule, whose
+    # 40-epoch warmup leaves the LR at ~2e-6 by step 500 — useless for a
+    # convergence check.  Rebuild the optimizer with the same chain but a
+    # gate-scale schedule (full base LR after a 50-step warmup); the step
+    # function and its compute cost are unchanged, so the sps check still
+    # compares like-for-like with the committed bench number.
+    gate_sched = warmup_cosine(1.5e-4 * batch / 256, 0.0, STEPS, 0.1 * STEPS, 1)
+    tx = optim_lib.make_pretrain_optimizer(state.params, gate_sched)
+    state = TrainState.create(state.params, tx)
     data = mesh_lib.shard_batch(batch_np, mesh)
     rng = jax.random.PRNGKey(0)
 
