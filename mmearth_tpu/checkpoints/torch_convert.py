@@ -211,6 +211,69 @@ def flax_encoder_to_torch(tree: Mapping, depths, use_orig_stem: bool = False) ->
     return sd
 
 
+def torch_unet_to_flax(
+    sd: Mapping[str, np.ndarray], depths, use_orig_stem: bool = False,
+) -> dict:
+    """Reference ConvNeXtV2_unet state dict -> flax ConvNeXtV2Unet param tree.
+
+    Encoder keys share the classifier layout (initial_conv/stem/
+    downsample_layers/stages, reference convnextv2_unet.py:106-156); decoder
+    adds upsample_layers.{0-3}.{conv,norm} (UpsampleBlock,
+    convnextv2_unet.py:52-66,161-218), initial_conv_upsample.{0,1}
+    (:181-212) and a 1x1 Conv2d head (:159).  The reference's registered but
+    unused final ``norm`` LayerNorm (:158) has no flax counterpart and is
+    dropped.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    tree = torch_encoder_to_flax(sd, depths, use_orig_stem, include_head=False)
+    for i in range(4):
+        _set(tree, (f"upsample_layers_{i}", "conv", "kernel"),
+             _conv_t2f(sd[f"upsample_layers.{i}.conv.weight"]))
+        _set(tree, (f"upsample_layers_{i}", "conv", "bias"),
+             sd[f"upsample_layers.{i}.conv.bias"])
+        _set(tree, (f"upsample_layers_{i}", "norm", "scale"),
+             sd[f"upsample_layers.{i}.norm.weight"])
+        _set(tree, (f"upsample_layers_{i}", "norm", "bias"),
+             sd[f"upsample_layers.{i}.norm.bias"])
+    _set(tree, ("initial_conv_upsample_conv", "kernel"),
+         _conv_t2f(sd["initial_conv_upsample.0.weight"]))
+    _set(tree, ("initial_conv_upsample_conv", "bias"), sd["initial_conv_upsample.0.bias"])
+    _set(tree, ("initial_conv_upsample_norm", "scale"), sd["initial_conv_upsample.1.weight"])
+    _set(tree, ("initial_conv_upsample_norm", "bias"), sd["initial_conv_upsample.1.bias"])
+    _set(tree, ("head", "kernel"), _conv_t2f(sd["head.weight"]))
+    _set(tree, ("head", "bias"), sd["head.bias"])
+    return tree
+
+
+def flax_unet_to_torch(
+    tree: Mapping, depths, use_orig_stem: bool = False, dims=None,
+) -> dict[str, np.ndarray]:
+    """Reverse of :func:`torch_unet_to_flax`.  When ``dims`` is given, emits
+    the reference's unused final-norm defaults (LN = 1/0) so the export
+    strict-loads into ``ConvNeXtV2_unet``."""
+    np_tree = _to_numpy(dict(tree))
+    sd = flax_encoder_to_torch(
+        {k: v for k, v in np_tree.items()
+         if not k.startswith(("upsample_layers_", "initial_conv_upsample_", "head"))},
+        depths, use_orig_stem)
+    for i in range(4):
+        up = np_tree[f"upsample_layers_{i}"]
+        sd[f"upsample_layers.{i}.conv.weight"] = _conv_f2t(up["conv"]["kernel"])
+        sd[f"upsample_layers.{i}.conv.bias"] = up["conv"]["bias"]
+        sd[f"upsample_layers.{i}.norm.weight"] = up["norm"]["scale"]
+        sd[f"upsample_layers.{i}.norm.bias"] = up["norm"]["bias"]
+    sd["initial_conv_upsample.0.weight"] = _conv_f2t(np_tree["initial_conv_upsample_conv"]["kernel"])
+    sd["initial_conv_upsample.0.bias"] = np_tree["initial_conv_upsample_conv"]["bias"]
+    sd["initial_conv_upsample.1.weight"] = np_tree["initial_conv_upsample_norm"]["scale"]
+    sd["initial_conv_upsample.1.bias"] = np_tree["initial_conv_upsample_norm"]["bias"]
+    sd["head.weight"] = _conv_f2t(np_tree["head"]["kernel"])
+    sd["head.bias"] = np_tree["head"]["bias"]
+    if dims is not None:
+        sd["norm.weight"] = np.ones(dims[-1], dtype=np.float32)
+        sd["norm.bias"] = np.zeros(dims[-1], dtype=np.float32)
+    return sd
+
+
 def _to_numpy(tree):
     import jax
 

@@ -133,12 +133,14 @@ def load_reference():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     import reference.models.convnextv2 as ref_convnextv2
+    import reference.models.convnextv2_unet as ref_convnextv2_unet
     import reference.models.fcmae as ref_fcmae
     import reference.custom_loss as ref_custom_loss
     import reference.MODALITIES as ref_modalities
 
     return types.SimpleNamespace(
         convnextv2=ref_convnextv2,
+        convnextv2_unet=ref_convnextv2_unet,
         fcmae=ref_fcmae,
         custom_loss=ref_custom_loss,
         MODALITIES=ref_modalities,

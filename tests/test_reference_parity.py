@@ -17,6 +17,8 @@ Covers (VERDICT round 1, item 1):
   * ``remap_minkowski_keys`` vs the reference's own ``remap_checkpoint_keys``
     (helpers.py:668-707) on a fabricated sparse checkpoint.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -132,6 +134,135 @@ def test_padding_deviation_quantified(dense_pair, capsys):
     # measured ~2-4% on random weights; keep a generous ceiling so a real
     # regression (e.g. mask-grid misalignment) trips the test
     assert r_feat < 0.15 and r_logit < 0.15
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MMEARTH_SLOW_TESTS"),
+    reason="~10 min 112px overfit on the CPU simulation; set MMEARTH_SLOW_TESTS=1",
+)
+def test_padding_deviation_on_trained_weights(capsys):
+    """VERDICT r2 weak #4: the SAME-vs-reference padding deviation was only
+    quantified on *random* weights; trained weights can concentrate or shrink
+    it.  Train the sparse FCMAE encoder for ~40 overfit steps at 112-16
+    (the released-checkpoint pretraining mode), transplant the encoder into
+    the dense classifier, and measure the deviation between padding modes on
+    the trained weights.  Numbers recorded in PARITY.md."""
+    from mmearth_tpu.models import fcmae as fc_lib
+    from mmearth_tpu.train.step import TrainState, init_fcmae, make_pretrain_step
+
+    # uncertainty aggregation, like the flagship config and the proven
+    # test_pretrain_converges recipe: the learned log-vars down-weight
+    # whichever pretext loss spikes during a tiny-batch overfit (a plain
+    # unweighted sum was measured to go NaN by step ~33 here).
+    model = fc_lib.convnextv2_atto(
+        img_size=IMG, patch_size=PATCH, sparse=True, loss_aggr="uncertainty",
+        inp_modalities=M.INP_MODALITIES, out_modalities=M.OUT_MODALITIES,
+    )
+    rng = np.random.default_rng(0)
+    n = 4
+    batch = {}
+    out_ch = M.out_channels(M.OUT_MODALITIES)
+    for name in ("sentinel2", "sentinel1", "aster", "canopy_height_eth"):
+        batch[name] = jnp.asarray(
+            rng.normal(size=(n, IMG, IMG, out_ch[name])).astype(np.float32))
+    for name, hi in (("dynamic_world", 9), ("esa_worldcover", 11)):
+        batch[name] = jnp.asarray(
+            rng.integers(0, hi, size=(n, IMG, IMG, 1)).astype(np.int32))
+    for name in ("lat", "lon", "month", "era5"):
+        batch[name] = jnp.asarray(
+            rng.normal(size=(n, out_ch[name])).astype(np.float32))
+    batch["biome"] = jnp.asarray(np.eye(14, dtype=np.int32)[rng.integers(0, 14, n)])
+    batch["eco_region"] = jnp.asarray(np.eye(846, dtype=np.int32)[rng.integers(0, 846, n)])
+
+    import functools
+
+    from mmearth_tpu.train import optim as optim_lib
+    from mmearth_tpu.train.schedule import warmup_cosine
+
+    params = init_fcmae(model, 0, batch)
+    tx = optim_lib.make_pretrain_optimizer(params, warmup_cosine(2e-4, 0, 100, 2, 10))
+    state = TrainState.create(params, tx)
+    step = make_pretrain_step(model, random_crop=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(state, batch, rng):
+        def body(carry, i):
+            st, _ = carry
+            st, m = step(st, batch, jax.random.fold_in(rng, i))
+            return (st, m["loss"]), m["loss"]
+
+        (state, _), losses = jax.lax.scan(body, (state, jnp.float32(0)), jnp.arange(40))
+        return state, losses
+
+    state, losses = run(state, batch, jax.random.PRNGKey(0))
+    losses = np.asarray(losses)
+    assert np.all(np.isfinite(losses)), losses
+    assert losses[-5:].mean() < 0.7 * losses[0], (losses[0], losses[-5:].mean())
+
+    # transplant the trained encoder into the dense classifier
+    enc = jax.tree_util.tree_map(np.asarray, state.params["encoder"])
+    feats, logits = {}, {}
+    x = jnp.asarray(rng.normal(size=(4, IMG, IMG, 12)).astype(np.float32))
+    for mode in ("reference", "same"):
+        jmodel = cnx.convnextv2_atto(
+            img_size=IMG, patch_size=PATCH, in_chans=12, num_classes=10,
+            padding_mode=mode,
+        )
+        cls_params = jmodel.init(jax.random.PRNGKey(1), x)["params"]
+        merged = {**cls_params, **{k: enc[k] for k in enc}}
+        feats[mode] = np.asarray(jmodel.apply(
+            {"params": merged}, x, method=cnx.ConvNeXtV2.forward_features))
+        logits[mode] = np.asarray(jmodel.apply({"params": merged}, x))
+
+    def rel(a, b):
+        return float(np.linalg.norm(a - b) / np.linalg.norm(b))
+
+    r_feat = rel(feats["same"], feats["reference"])
+    r_logit = rel(logits["same"], logits["reference"])
+    print(f"padding deviation on trained weights: features {r_feat:.4%}, logits {r_logit:.4%}")
+    assert r_feat < 0.25 and r_logit < 0.25
+
+
+# ---------------------------------------------------------------------------
+# UNet (segmentation decoder model)
+# ---------------------------------------------------------------------------
+def test_unet_golden_parity_both_directions(ref):
+    """Whole-model seg-logit parity vs the reference's own ConvNeXtV2_unet
+    (convnextv2_unet.py:68-275), both weight-conversion directions.  At
+    112-16 the reference unet's geometry (padding-1 initial conv + VALID
+    stride-2 stem, :120-134) is exactly our SAME layout, so no padding-mode
+    switch is involved."""
+    from mmearth_tpu.models import unet as ju
+
+    torch.manual_seed(5)
+    tmodel = ref.convnextv2_unet.convnextv2_unet_atto(
+        patch_size=PATCH, img_size=IMG, in_chans=12, num_classes=7)
+    tmodel.eval()
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = tc.torch_unet_to_flax(sd, DEPTHS)
+
+    torch.manual_seed(6)
+    x = torch.randn(2, 12, IMG, IMG)
+    with torch.no_grad():
+        want = tmodel(x).numpy()  # (N, C, H, W)
+
+    jmodel = ju.convnextv2_unet_atto(
+        img_size=IMG, patch_size=PATCH, in_chans=12, num_classes=7)
+    got = np.asarray(jmodel.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)}, _to_nhwc(x)))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, rtol=2e-4, atol=2e-4)
+
+    # reverse: flax -> torch strict-load reproduces the same logits
+    sd2 = tc.flax_unet_to_torch(params, DEPTHS, dims=DIMS)
+    tmodel2 = ref.convnextv2_unet.convnextv2_unet_atto(
+        patch_size=PATCH, img_size=IMG, in_chans=12, num_classes=7)
+    tmodel2.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd2.items()},
+        strict=True)
+    tmodel2.eval()
+    with torch.no_grad():
+        want2 = tmodel2(x).numpy()
+    np.testing.assert_allclose(want2, want, rtol=1e-5, atol=1e-5)
 
 
 # ---------------------------------------------------------------------------
