@@ -19,6 +19,22 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _safe_l2(sum_sq: jnp.ndarray) -> jnp.ndarray:
+    """sqrt with a defined (zero) gradient at sum_sq == 0.
+
+    The GRN statistic is an L2 norm; when an entire channel's activations are
+    exactly zero (a dead channel — gelu underflows to 0 once pre-activations
+    drop below ~-15, observed in practice during tiny-batch overfits), the
+    derivative of sqrt at 0 is +inf and one backward pass NaNs every upstream
+    parameter.  torch has the same hazard (``torch.norm`` backward at 0) and
+    the reference would ``sys.exit(1)`` on the resulting non-finite loss
+    (engine_pretrain.py:83-85); we instead take the standard subgradient 0 via
+    the double-``where`` trick — the forward value is bit-identical.
+    """
+    safe = jnp.where(sum_sq > 0, sum_sq, 1.0)
+    return jnp.where(sum_sq > 0, jnp.sqrt(safe), 0.0)
+
+
 class LayerNorm(nn.Module):
     """LayerNorm over the trailing (channel) axis, biased variance, eps 1e-6."""
 
@@ -49,7 +65,7 @@ class GRN(nn.Module):
         gamma = self.param("gamma", nn.initializers.zeros, (self.dim,), jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, (self.dim,), jnp.float32)
         xf = x.astype(jnp.float32)
-        gx = jnp.sqrt(jnp.sum(jnp.square(xf), axis=(1, 2), keepdims=True))  # (N,1,1,C)
+        gx = _safe_l2(jnp.sum(jnp.square(xf), axis=(1, 2), keepdims=True))  # (N,1,1,C)
         nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-4)
         y = gamma * (xf * nx) + beta + xf
         return y.astype(self.dtype)
@@ -101,7 +117,7 @@ class MaskedGRN(nn.Module):
         # L2 over every axis of the group except the channel one (works for
         # (N,H,W,C) dense layouts and flattened (rows, C) gathered layouts)
         axes = tuple(range(1, mg.ndim - 1))
-        gx = jnp.sqrt(jnp.sum(jnp.square(mg), axis=axes, keepdims=True))
+        gx = _safe_l2(jnp.sum(jnp.square(mg), axis=axes, keepdims=True))
         nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
         y = gamma * (xg * nx) + beta + xg
         return y.reshape(xf.shape).astype(self.dtype)

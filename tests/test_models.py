@@ -175,3 +175,39 @@ def test_classifier_forward_shapes():
     params = model.init(jax.random.PRNGKey(0), x)["params"]
     logits = model.apply({"params": params}, x)
     assert logits.shape == (2, 10)
+
+
+def test_grn_dead_channel_gradient_is_finite():
+    """A channel whose activations are all exactly zero (dead channel: gelu
+    underflows to 0 once pre-activations drop below ~-15) must not produce a
+    non-finite gradient through the GRN L2 statistic (d sqrt(0) = inf; torch
+    has the same hazard and the reference would sys.exit on it).  The forward
+    value must be unchanged by the safe-sqrt."""
+    rng = np.random.default_rng(7)
+    n, h, w, c = 2, 4, 4, 8
+    x = rng.normal(size=(n, h, w, c)).astype(np.float32)
+    x[..., 3] = 0.0  # dead channel
+    xj = jnp.asarray(x)
+
+    for mod, args in (
+        (GRN(c), (xj,)),
+        (MaskedGRN(c), (xj, jnp.ones((n, h, w, 1)))),
+    ):
+        params = mod.init(jax.random.PRNGKey(0), *args)["params"]
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(rng.normal(size=a.shape).astype(np.float32)), params)
+
+        y = mod.apply({"params": params}, *args)
+        assert np.all(np.isfinite(np.asarray(y)))
+        # forward: dead channel passes through as gamma*0*nx + beta + 0 = beta
+        np.testing.assert_allclose(
+            np.asarray(y)[..., 3], float(params["beta"][3]), rtol=1e-6)
+
+        def loss(p):
+            return (mod.apply({"params": p}, *args) ** 2).sum()
+
+        g_p = jax.grad(loss)(params)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(g_p):
+            assert np.all(np.isfinite(np.asarray(leaf))), jax.tree_util.keystr(path)
+        g_x = jax.grad(lambda a: (mod.apply({"params": params}, a, *args[1:]) ** 2).sum())(xj)
+        assert np.all(np.isfinite(np.asarray(g_x)))
