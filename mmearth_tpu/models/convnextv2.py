@@ -161,11 +161,20 @@ class Block(nn.Module):
     ``block_impl`` selects the masked-path implementation of everything after
     the depthwise conv (LN -> pw1 -> gelu -> masked GRN -> pw2 -> mask ->
     residual): "xla"/"auto" = composed jnp ops; "fused" = the recompute-based
-    Pallas kernel (ops/fused_block.py).  The kernel is opt-in: measured
-    in-model on v5e it loses to XLA (fwd 4.8 ms vs ~3 ms, bwd 8.1 ms vs ~4 ms
-    per stage-0 block at atto/256 — the double erf-gelu recompute dominates),
-    so "auto" resolves to xla.  Parameters are identical across
-    implementations (same names/shapes/init), so checkpoints interchange.
+    Pallas kernel (ops/fused_block.py); "remat" = the same composed ops under
+    ``nn.remat``, so autodiff stores only the C-wide dwconv output and
+    rematerializes the three 4C-wide intermediates (pw1 out / gelu out / GRN
+    out) in the backward pass — trading cheap MXU/VPU recompute for HBM
+    round-trips.  Both alternates are opt-in negative results, measured
+    full-step in-process on v5e (scripts/ab_impl.py): the Pallas kernel loses
+    (fwd 4.8 ms vs ~3 ms, bwd 8.1 ms vs ~4 ms per stage-0 block at atto/256 —
+    the double erf-gelu recompute dominates), and remat loses 20.6% at
+    atto/256 (57.9 vs 48.0 ms/step) and 7.0% at tiny/112 (57.4 vs 53.7) —
+    the recompute + optimization barriers cost more than the avoided traffic;
+    with ``prevent_cse=False`` XLA simply CSEs the recompute away
+    (bit-identical loss, ~equal time).  So "auto" resolves to xla.
+    Parameters are identical across implementations (same names/shapes/init),
+    so checkpoints interchange.
     """
 
     dim: int
@@ -220,11 +229,54 @@ class Block(nn.Module):
             self.dim, (7, 7), padding="SAME", feature_group_count=self.dim,
             kernel_init=dw_init, dtype=self.dtype, name="dwconv",
         )
+        use_masked_grn = (keep is not None or gather_ctx is not None) and self.sparse
+
+        if self.block_impl == "remat":
+            # Tail submodules are created *inside* the lifted function (same
+            # names -> identical param tree); creating them out here too would
+            # collide.
+            gathered = gather_ctx is not None
+            mask_after = keep is not None and self.sparse and not gathered
+
+            def _tail(blk, t, res, keep_t):
+                u = LayerNorm(blk.dim, dtype=blk.dtype, name="norm")(t)
+                u = nn.Dense(4 * blk.dim, kernel_init=pw_init, dtype=blk.dtype,
+                             name="pwconv1")(u)
+                u = gelu(u, blk.gelu_approx)
+                if use_masked_grn:
+                    u = MaskedGRN(4 * blk.dim, dtype=blk.dtype, group=blk.grn_group,
+                                  name="grn")(u, keep_t)
+                else:
+                    u = GRN(4 * blk.dim, dtype=blk.dtype, name="grn")(u)
+                out = nn.Dense(blk.dim, kernel_init=pw_init, dtype=blk.dtype,
+                               name="pwconv2")(u)
+                if mask_after:
+                    out = out * keep_t.astype(out.dtype)
+                out = DropPath(blk.drop_path, name="drop_path")(out, deterministic)
+                return res + out
+
+            tail = nn.remat(_tail)
+            if gathered:
+                (kind, sel), grid, h = gather_ctx
+                if kind == "pallas":
+                    from ..ops import patch_select as psel
+
+                    n, k, pp, c = x.shape
+                    p = h // grid
+                    xd = psel.scatter_patches(x.reshape(n, k, p, p, c), sel, p, grid, h)
+                    t = psel.gather_patches(dwconv(xd), sel, p, grid).reshape(x.shape)
+                else:
+                    xd = scatter_visible(x, sel, grid, h)
+                    t = gather_visible(dwconv(xd), sel, grid)
+                ones = jnp.ones(t.shape[:-1] + (1,), t.dtype)
+                return tail(self, t, inp, ones)
+            return tail(self, dwconv(x), inp, keep)
+
         norm = LayerNorm(self.dim, dtype=self.dtype, name="norm")
         pw1 = nn.Dense(4 * self.dim, kernel_init=pw_init, dtype=self.dtype, name="pwconv1")
         masked_grn = (
             MaskedGRN(4 * self.dim, dtype=self.dtype, group=self.grn_group, name="grn")
-            if ((keep is not None or gather_ctx is not None) and self.sparse) else None
+            if use_masked_grn else None
         )
         pw2 = nn.Dense(self.dim, kernel_init=pw_init, dtype=self.dtype, name="pwconv2")
 

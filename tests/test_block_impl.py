@@ -96,3 +96,65 @@ def test_spillg_block_impl_matches_xla_gathered():
         scale = max(np.abs(a).max(), 1.0)
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-3,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+def test_remat_block_impl_matches_xla_all_modes():
+    """block_impl="remat" is numerically the SAME computation under
+    jax.checkpoint — forward and gradients must match the composed path to
+    float tolerance, with an identical param tree, in all three block modes
+    (gathered, masked-dense, plain dense)."""
+    from mmearth_tpu.models.convnextv2 import visible_onehot
+
+    rng = np.random.default_rng(2)
+    N, C = 2, 16
+
+    def check(bx, br, init_args, apply_args):
+        params = bx.init(jax.random.PRNGKey(0), *init_args)["params"]
+        params["grn"]["gamma"] = jnp.asarray(rng.normal(size=(4 * C,)).astype(np.float32))
+        params["grn"]["beta"] = jnp.asarray(rng.normal(size=(4 * C,)).astype(np.float32))
+        shapes = lambda pr: jax.tree_util.tree_map(lambda a: tuple(a.shape), pr)
+        assert shapes(br.init(jax.random.PRNGKey(0), *init_args)["params"]) == shapes(params)
+
+        yx = bx.apply({"params": params}, *apply_args)
+        yr = br.apply({"params": params}, *apply_args)
+        np.testing.assert_allclose(np.asarray(yx), np.asarray(yr), rtol=1e-6, atol=1e-6)
+
+        def loss(mod, pr):
+            return (mod.apply({"params": pr}, *apply_args) ** 2).sum()
+
+        gx = jax.grad(lambda pr: loss(bx, pr))(params)
+        gr = jax.grad(lambda pr: loss(br, pr))(params)
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gx), jax.tree_util.tree_leaves_with_path(gr)
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1.0)
+            np.testing.assert_allclose(a / scale, b / scale, atol=1e-5,
+                                       err_msg=jax.tree_util.keystr(path))
+
+    # gathered (gather_ctx) mode
+    grid, p, K = 4, 2, 6
+    h = grid * p
+    mask = np.ones((N, grid * grid), np.float32)
+    for i in range(N):
+        mask[i, rng.permutation(grid * grid)[:K]] = 0.0
+    P = visible_onehot(jnp.asarray(mask), K, jnp.float32)
+    xg = jnp.asarray(rng.normal(size=(N, K, p * p, C)).astype(np.float32))
+    ctx = (("onehot", P), grid, h)
+    check(Block(C, sparse=True, block_impl="xla"),
+          Block(C, sparse=True, block_impl="remat"),
+          (xg, None, True, ctx), (xg, None, True, ctx))
+
+    # masked-dense mode
+    H = W = 8
+    x = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32))
+    keep = jnp.asarray((rng.random((N, H, W, 1)) > 0.5).astype(np.float32))
+    xm = x * keep
+    check(Block(C, sparse=True, block_impl="xla"),
+          Block(C, sparse=True, block_impl="remat"),
+          (xm, keep), (xm, keep))
+
+    # plain dense (classifier/finetune) mode
+    check(Block(C, sparse=False, block_impl="xla"),
+          Block(C, sparse=False, block_impl="remat"),
+          (x,), (x,))
