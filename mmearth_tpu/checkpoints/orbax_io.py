@@ -50,20 +50,25 @@ class CheckpointIO:
         if extra:
             payload["extra"] = extra
         self.manager.save(epoch, args=ocp.args.StandardSave(payload))
-        if loader_state is not None and jax.process_index() == 0:
+        if loader_state is not None:
             # input-pipeline position (e.g. the Grain iterator state) rides
             # alongside the epoch checkpoint so a resumed run continues the
             # stream on exactly the next sample (the reference instead
-            # restarts the epoch, helpers.py:568-610)
-            (self.directory / f"loader-{epoch}.bin").write_bytes(loader_state)
+            # restarts the epoch, helpers.py:568-610).  Each process owns a
+            # per-host sharded stream, so each writes (and later restores)
+            # its OWN position file — restoring process 0's state everywhere
+            # would replay wrong shards on a pod.
+            (self.directory / _loader_file(epoch)).write_bytes(loader_state)
             kept = sorted(
-                int(p.stem.split("-")[1]) for p in self.directory.glob("loader-*.bin")
+                int(p.stem.split("-")[1])
+                for p in self.directory.glob("loader-*.bin")
+                if p.name == _loader_file(int(p.stem.split("-")[1]))
             )
             for old in kept[: -self.max_to_keep]:
-                (self.directory / f"loader-{old}.bin").unlink(missing_ok=True)
+                (self.directory / _loader_file(old)).unlink(missing_ok=True)
 
     def loader_state(self, epoch: int) -> bytes | None:
-        p = self.directory / f"loader-{epoch}.bin"
+        p = self.directory / _loader_file(epoch)
         return p.read_bytes() if p.exists() else None
 
     def wait(self):
@@ -114,9 +119,19 @@ def restore_explicit(state: Any, path: str | Path):
     return state, epoch
 
 
+def _loader_file(epoch: int) -> str:
+    """Per-process loader-position filename.  Process 0 keeps the plain
+    ``loader-<epoch>.bin`` name (single-host files stay readable); other
+    processes get a ``-p<idx>`` suffix so every host round-trips its own
+    sharded stream position."""
+    idx = jax.process_index()
+    return f"loader-{epoch}.bin" if idx == 0 else f"loader-{epoch}-p{idx}.bin"
+
+
 def find_loader_state(path: str | Path, epoch: int) -> bytes | None:
-    """Locate the ``loader-<epoch>.bin`` saved beside an explicit ``--resume``
-    checkpoint (same root-resolution rules as :func:`restore_explicit`)."""
+    """Locate this process's ``loader-<epoch>[-pN].bin`` saved beside an
+    explicit ``--resume`` checkpoint (same root-resolution rules as
+    :func:`restore_explicit`)."""
     p = Path(path).absolute()
     if p.name.isdigit() and (p / "default").exists():
         root = p.parent
@@ -124,7 +139,7 @@ def find_loader_state(path: str | Path, epoch: int) -> bytes | None:
         root = p / "checkpoints"
     else:
         root = p
-    f = root / f"loader-{epoch}.bin"
+    f = root / _loader_file(epoch)
     return f.read_bytes() if f.exists() else None
 
 

@@ -184,3 +184,31 @@ def test_pretrain_grain_midstream_resume(synth_dir, tmp_path):
     a = (tmp_path / "A" / "checkpoints" / "loader-1.bin").read_bytes()
     b = (tmp_path / "B" / "checkpoints" / "loader-1.bin").read_bytes()
     assert a == b, "resumed run's stream position diverged from the unbroken run"
+
+
+def test_loader_state_files_are_per_process(tmp_path, monkeypatch):
+    """On a pod every process owns a per-host sharded Grain stream, so each
+    must save and restore its OWN position file; restoring process 0's state
+    everywhere would replay wrong shards after a resume."""
+    import jax
+
+    from mmearth_tpu.checkpoints import orbax_io
+
+    root = tmp_path / "checkpoints"
+    root.mkdir()
+
+    def at(idx):
+        monkeypatch.setattr(jax, "process_index", lambda: idx)
+
+    at(0)
+    assert orbax_io._loader_file(3) == "loader-3.bin"  # single-host name kept
+    (root / orbax_io._loader_file(3)).write_bytes(b"p0-state")
+    at(1)
+    assert orbax_io._loader_file(3) == "loader-3-p1.bin"
+    (root / orbax_io._loader_file(3)).write_bytes(b"p1-state")
+
+    # each process resolves its own file, for both resume paths
+    at(0)
+    assert orbax_io.find_loader_state(tmp_path, 3) == b"p0-state"
+    at(1)
+    assert orbax_io.find_loader_state(tmp_path, 3) == b"p1-state"
