@@ -106,6 +106,11 @@ def main():
         ok = False
     if ok:
         print("convergence gate PASSED")
+    report["passed"] = ok
+    report["device_kind"] = jax.devices()[0].device_kind
+    report["ts"] = time.time()
+    (Path(__file__).parent.parent / "GATE.json").write_text(
+        json.dumps(report, indent=1))
     sys.exit(0 if ok else 1)
 
 
