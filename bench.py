@@ -280,13 +280,18 @@ def bench_input_path(kind: str, n_samples: int = 4096, per_chip_batch: int = 256
 
     def run_epoch(state, epoch):
         loader.set_epoch(epoch) if hasattr(loader, "set_epoch") else None
-        n = 0
+        n, metrics = 0, None
         for host_batch in _chunked_batches(iter(loader), k):
             if host_batch["sentinel2"].ndim == 4:
                 continue  # tail smaller than k: skip for steady-state timing
             data = mesh_lib.shard_batch(host_batch, mesh, axis=1)
             state, metrics = chained(state, data, rng)
             n += k * batch_size
+        if metrics is None:
+            raise SystemExit(
+                f"input-path bench needs >= {k} batches per epoch "
+                f"({n_train} samples / batch {batch_size}); grow the pack "
+                "(n_samples) or lower steps_per_dispatch")
         float(metrics["loss"])
         return state, n
 

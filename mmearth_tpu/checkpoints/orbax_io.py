@@ -7,6 +7,7 @@ coordinates multi-host internally).
 """
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Any
 
@@ -33,13 +34,18 @@ def _state_from_payload(state: Any, restored: dict) -> Any:
 
 class CheckpointIO:
     def __init__(self, output_dir: str | Path, max_to_keep: int = 3, save_interval: int = 1):
+        # NOTE: the save cadence is the *drivers'* job — they replicate the
+        # reference's `(epoch + 1) % save_ckpt_freq == 0 or last` gate
+        # (main_pretrain.py:354).  Orbax's own save_interval_steps must stay
+        # at 1: its FixedIntervalPolicy accepts `epoch % interval == 0`,
+        # which is misaligned with the driver's epochs (freq-1, 2*freq-1, …)
+        # and would silently reject every non-initial save.
         self.directory = Path(output_dir).absolute() / "checkpoints"
         self.max_to_keep = max_to_keep
         self.manager = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
-                save_interval_steps=save_interval,
                 create=True,
             ),
         )
@@ -49,16 +55,22 @@ class CheckpointIO:
         payload = _state_payload(state)
         if extra:
             payload["extra"] = extra
-        self.manager.save(epoch, args=ocp.args.StandardSave(payload))
-        if loader_state is not None:
+        saved = self.manager.save(epoch, args=ocp.args.StandardSave(payload))
+        if loader_state is not None and saved:
             # input-pipeline position (e.g. the Grain iterator state) rides
             # alongside the epoch checkpoint so a resumed run continues the
             # stream on exactly the next sample (the reference instead
             # restarts the epoch, helpers.py:568-610).  Each process owns a
             # per-host sharded stream, so each writes (and later restores)
             # its OWN position file — restoring process 0's state everywhere
-            # would replay wrong shards on a pod.
-            (self.directory / _loader_file(epoch)).write_bytes(loader_state)
+            # would replay wrong shards on a pod.  Written only when the
+            # manager actually saved (never orphaned from a checkpoint) and
+            # atomically (tmp + rename) so a mid-write kill — the very event
+            # mid-stream resume exists for — cannot leave a torn state file.
+            target = self.directory / _loader_file(epoch)
+            tmp = target.with_suffix(".bin.tmp")
+            tmp.write_bytes(loader_state)
+            os.replace(tmp, target)
             kept = sorted(
                 int(p.stem.split("-")[1])
                 for p in self.directory.glob("loader-*.bin")
@@ -101,14 +113,7 @@ def restore_explicit(state: Any, path: str | Path):
     p = Path(path).absolute()
     if not p.exists():
         raise FileNotFoundError(f"--resume path does not exist: {p}")
-    epoch = None
-    if p.name.isdigit() and (p / "default").exists():  # CheckpointManager epoch dir
-        epoch = int(p.name)
-        root = p.parent
-    elif (p / "checkpoints").is_dir():
-        root = p / "checkpoints"
-    else:
-        root = p
+    root, epoch = _resolve_ckpt_root(p)
     manager = ocp.CheckpointManager(root)
     epoch = manager.latest_step() if epoch is None else epoch
     if epoch is None:
@@ -117,6 +122,20 @@ def restore_explicit(state: Any, path: str | Path):
     state = _state_from_payload(state, restored)
     manager.close()
     return state, epoch
+
+
+def _resolve_ckpt_root(p: Path) -> tuple[Path, int | None]:
+    """Resolve an explicit ``--resume`` path to (CheckpointManager root,
+    pinned epoch or None).  ``p`` may be a run output dir (containing
+    ``checkpoints/``), a ``checkpoints`` root, or a specific epoch dir
+    ``checkpoints/<N>``.  Shared by :func:`restore_explicit` and
+    :func:`find_loader_state` so the model and its loader state always
+    resolve to the same place."""
+    if p.name.isdigit() and (p / "default").exists():  # CheckpointManager epoch dir
+        return p.parent, int(p.name)
+    if (p / "checkpoints").is_dir():
+        return p / "checkpoints", None
+    return p, None
 
 
 def _loader_file(epoch: int) -> str:
@@ -132,13 +151,7 @@ def find_loader_state(path: str | Path, epoch: int) -> bytes | None:
     """Locate this process's ``loader-<epoch>[-pN].bin`` saved beside an
     explicit ``--resume`` checkpoint (same root-resolution rules as
     :func:`restore_explicit`)."""
-    p = Path(path).absolute()
-    if p.name.isdigit() and (p / "default").exists():
-        root = p.parent
-    elif (p / "checkpoints").is_dir():
-        root = p / "checkpoints"
-    else:
-        root = p
+    root, _ = _resolve_ckpt_root(Path(path).absolute())
     f = root / _loader_file(epoch)
     return f.read_bytes() if f.exists() else None
 

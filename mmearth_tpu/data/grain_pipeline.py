@@ -160,6 +160,7 @@ class GrainLoader:
         self._source = pg.ArrayRecordDataSource(shard_files)
         self._it = None
         self._raw = None
+        self._pos = 0  # records consumed in the current shuffle epoch (stream mode)
         self.epoch = 0
 
     def _make_loader(self, num_epochs, seed):
@@ -235,20 +236,52 @@ class GrainLoader:
         return self._it
 
     def _batched(self, rec_it) -> Iterator[dict[str, np.ndarray]]:
-        while True:
-            buf = []
-            for rec in rec_it:
-                buf.append(rec)
-                if len(buf) == self.batch_size:
-                    break
-            if len(buf) < self.batch_size:
-                return
+        """Batch the continuous record stream, aligned to shuffle epochs.
+
+        The sampler reshuffles every ``per_shard`` records while the driver
+        consumes ``len(loader) * batch_size`` per epoch; when ``per_shard``
+        is not a batch multiple those windows would drift, letting one batch
+        mix two shuffle orders and a driver epoch see a record twice (tail
+        of permutation e + head of permutation e+1).  So at every shuffle-
+        epoch boundary the tail partial batch is dropped under ``drop_last``
+        (exactly what PackedLoader / torch DataLoader drop) or emitted
+        otherwise — a driver epoch is always the leading full batches of one
+        permutation.
+        """
+        per_epoch = self._per_shard()
+        buf = []
+        for rec in rec_it:
+            buf.append(rec)
+            self._pos += 1
+            if len(buf) == self.batch_size:
+                yield _stack_records(buf)
+                buf = []
+            if self._pos >= per_epoch:
+                if buf and not self.drop_last:
+                    yield _stack_records(buf)
+                buf = []
+                self._pos = 0
+        if buf and not self.drop_last:
             yield _stack_records(buf)
 
     def get_state(self) -> bytes:
+        """Stream position as opaque bytes: the Grain iterator state plus the
+        in-shuffle-epoch record count (needed so a resumed stream keeps the
+        epoch-boundary alignment of :meth:`_batched`)."""
         self.iterator()
-        return self._raw.get_state()
+        return json.dumps({
+            "mmearth_pos": self._pos,
+            "grain": self._raw.get_state().decode("utf-8"),
+        }).encode("utf-8")
 
     def set_state(self, state: bytes) -> None:
         self.iterator()
-        self._raw.set_state(state)
+        try:
+            obj = json.loads(state.decode("utf-8"))
+        except Exception:
+            obj = None
+        if isinstance(obj, dict) and "mmearth_pos" in obj:
+            self._pos = int(obj["mmearth_pos"])
+            self._raw.set_state(obj["grain"].encode("utf-8"))
+        else:  # legacy layout: bare Grain iterator state
+            self._raw.set_state(state)

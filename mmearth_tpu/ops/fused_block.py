@@ -368,7 +368,7 @@ fused_block_mlp.defvjp(_fwd_rule, _bwd_rule)
 #
 # MEASURED RESULT (negative; kept as the documented end of this avenue,
 # selected by ``--block_impl spillg``): full-step in-process A/B at atto/256
-# on v5e (scripts/ab_spillg.py): 58.92 ms/step vs 48.28 ms for the XLA
+# on v5e (scripts/ab_impl.py auto spillg): 58.92 ms/step vs 48.28 ms for the XLA
 # lowering (22% slower), loss agreement 1.1e-5 relative.  The recompute
 # savings are real but are outweighed by (a) 4 pallas_call dispatches per
 # block vs XLA's fused schedule, (b) C=40/80 lane padding — every (TM, C)

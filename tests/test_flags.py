@@ -63,6 +63,28 @@ def test_clip_grad_finetune_ignores_frozen():
     np.testing.assert_array_equal(np.asarray(u1["trunk"]["w"]), 0.0)
 
 
+def test_save_ckpt_freq_misaligned_epochs_still_save(tmp_path):
+    """The drivers replicate the reference's save cadence — epochs freq-1,
+    2*freq-1, ... ((epoch+1) % freq == 0, main_pretrain.py:354).  Orbax's
+    own FixedIntervalPolicy accepts `epoch % interval == 0`, so passing the
+    freq through as save_interval_steps silently rejected every non-initial
+    save (and the rolling prune then deleted the loader file of the only
+    epoch that had a checkpoint).  CheckpointIO must accept every
+    driver-requested save and keep loader files only beside real
+    checkpoints."""
+    params = {"w": jnp.arange(4.0)}
+    state = TrainState.create(params, optax.sgd(0.1))
+    io = CheckpointIO(tmp_path, max_to_keep=3, save_interval=2)
+    for epoch in (1, 3, 5):  # the driver cadence at save_ckpt_freq=2
+        io.save(epoch, state, loader_state=f"pos{epoch}".encode())
+    io.wait()
+    assert io.latest_epoch() == 5
+    assert sorted(io.manager.all_steps()) == [1, 3, 5]
+    assert io.loader_state(5) == b"pos5"
+    assert io.loader_state(1) == b"pos1"  # within max_to_keep, not pruned
+    assert not list(io.directory.glob("*.tmp"))  # loader writes are atomic
+
+
 def test_restore_explicit_paths(tmp_path):
     params = {"w": jnp.arange(4.0)}
     tx = optax.sgd(0.1)

@@ -132,6 +132,38 @@ def test_midepoch_checkpoint_resume(packed):
     assert resumed == rest
 
 
+def test_stream_epochs_align_with_shuffle_epochs(packed):
+    """Continuous-stream mode with per_shard not a batch multiple: 40
+    records / batch 16 -> len(loader)=2, 8-record shuffle tail.  Without
+    boundary alignment, driver epoch 2 would mix the tail of permutation 1
+    with the head of permutation 2 (a record can repeat within the epoch);
+    with it, every driver epoch is the leading 32 records of one fresh
+    permutation."""
+    loader = gp.GrainLoader(packed, batch_size=16, seed=3)
+    assert len(loader) == 2
+    it = loader.iterator()
+    epochs = [[l for _ in range(len(loader)) for l in next(it)["label"].tolist()]
+              for _ in range(4)]
+    for ep in epochs:
+        assert len(ep) == 32 and len(set(ep)) == 32, "record repeated within a driver epoch"
+    assert epochs[0] != epochs[1], "shuffle epoch did not advance"
+
+
+def test_stream_resume_across_epoch_boundary(packed):
+    """get_state/set_state must carry the in-shuffle-epoch position so a
+    resumed stream drops the same boundary tail as the unbroken one."""
+    a = gp.GrainLoader(packed, batch_size=16, seed=9)
+    it = a.iterator()
+    next(it)  # mid-epoch
+    state = a.get_state()
+    unbroken = [next(it)["label"].tolist() for _ in range(4)]  # crosses boundary
+
+    b = gp.GrainLoader(packed, batch_size=16, seed=9)
+    b.set_state(state)
+    resumed = [next(b.iterator())["label"].tolist() for _ in range(4)]
+    assert resumed == unbroken
+
+
 def test_values_roundtrip(packed):
     loader = gp.GrainLoader(packed, batch_size=8, shuffle=False)
     batch = next(iter(loader))
