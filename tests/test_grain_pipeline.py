@@ -119,6 +119,18 @@ def test_multiworker_batches_exact(packed):
         assert sorted(seen) == list(range(40))
 
 
+def test_stream_mode_worker_count_invariant(packed):
+    """Stream-mode batches must not depend on worker_count: Grain's iterator
+    preserves the deterministic global record order across workers, and the
+    parent-side batching + shuffle-epoch alignment sit on top of that order."""
+    def take(wc, n=6):
+        loader = gp.GrainLoader(packed, batch_size=16, seed=4, worker_count=wc)
+        it = loader.iterator()
+        return [next(it)["label"].tolist() for _ in range(n)]
+
+    assert take(0) == take(2)
+
+
 def test_midepoch_checkpoint_resume(packed):
     loader = gp.GrainLoader(packed, batch_size=8, seed=7)
     it = loader.iterator()
