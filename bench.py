@@ -437,6 +437,11 @@ def main():
     p.add_argument("--input", default="synthetic",
                    choices=["synthetic", "mmpack", "grain"])
     args = p.parse_args()
+    from mmearth_tpu.parallel.mesh import honor_cpu_platform_env
+    from mmearth_tpu.utils.compile_cache import enable_compilation_cache
+
+    honor_cpu_platform_env()
+    enable_compilation_cache()
     if args.input != "synthetic":
         bench_input_path(args.input)
     elif args.config in ("finetune", "seg"):

@@ -24,8 +24,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def honor_cpu_platform_env():
+    """Honor an explicit ``JAX_PLATFORMS=cpu`` from the caller (CPU smoke
+    runs of the drivers).  Some TPU plugin environments hard-pin
+    ``jax_platforms`` from sitecustomize *after* reading the env var, so the
+    env alone does not stick; the config update does.  No-op once the
+    backend is initialized or when the env var requests anything else."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
 def init_distributed():
     """Multi-host init (reference helpers.py:337-390 collapses to this)."""
+    honor_cpu_platform_env()
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1:
         jax.distributed.initialize()
 

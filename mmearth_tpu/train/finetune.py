@@ -31,6 +31,7 @@ from ..losses.finetune import criterion_fn
 from ..models import convnextv2 as cnx
 from ..models import unet as unet_lib
 from ..parallel import mesh as mesh_lib
+from ..utils.compile_cache import enable_compilation_cache
 from ..utils.logging import MetricLogger
 from . import optim as optim_lib
 from .schedule import warmup_cosine
@@ -141,6 +142,7 @@ def evaluate(params, loader, eval_step, metric, model_state=None):
 
 
 def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
+    enable_compilation_cache()
     mesh_lib.init_distributed()
     mesh = mesh_lib.create_mesh()
     is_main = jax.process_index() == 0

@@ -22,6 +22,7 @@ from ..data.loader import PackedDataset, PackedLoader
 from ..data.pack import pack_mmearth
 from ..models import fcmae as fcmae_lib
 from ..parallel import mesh as mesh_lib
+from ..utils.compile_cache import enable_compilation_cache
 from ..utils.logging import MetricLogger, TensorboardWriter, maybe_wandb
 from . import optim as optim_lib
 from .schedule import warmup_cosine
@@ -112,6 +113,7 @@ def get_dataloader(cfg: PretrainConfig, split: str = "train"):
 
 
 def run_pretrain(cfg: PretrainConfig):
+    enable_compilation_cache()
     mesh_lib.init_distributed()
     mesh = mesh_lib.create_mesh()
     is_main = jax.process_index() == 0
