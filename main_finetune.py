@@ -45,6 +45,12 @@ def get_args_parser():
     p.add_argument("--layer_decay", type=float, default=1.0)
     p.add_argument("--layer_decay_type", choices=["single", "group"], default="single")
     p.add_argument("--opt_betas", nargs=2, type=float, default=[0.9, 0.999])
+    p.add_argument("--opt", default="adamw", type=str,
+                   help="optimizer family (optim_factory.py:149-252); "
+                        "sgd/momentum/nesterov/adam/adamw are torch-trajectory "
+                        "exact, others use the optax definition (PARITY.md)")
+    p.add_argument("--opt_eps", default=1e-8, type=float)
+    p.add_argument("--momentum", default=0.9, type=float)
     p.add_argument("--clip_grad", type=float, default=None)
     p.add_argument("--smoothing", type=float, default=0.2)
 
@@ -83,15 +89,38 @@ def get_args_parser():
     p.add_argument("--model_ema_eval", type=str2bool, default=False,
                    help="evaluate with the EMA weights")
 
-    # reference-compat no-ops (mixup/DDP/torch plumbing)
+    # reference-compat no-ops (mixup/DDP/torch plumbing).  The mixup/random-
+    # erase/autoaugment family and --eval/--warmup_steps/--weight_decay_end/
+    # --model_key are parsed by the reference too but never reach its runtime
+    # (only datasets_old.py, which main_finetune.py:31 comments out).
     for flag in ["--model_ema_force_cpu",
                  "--dist_on_itp", "--distributed", "--no_ffcv", "--use_mixed",
-                 "--baseline", "--pretraining"]:
+                 "--baseline", "--pretraining", "--use_amp", "--eval",
+                 "--pin_mem", "--resplit"]:
         p.add_argument(flag, type=str2bool, default=False)
     p.add_argument("--device", default="tpu")
     p.add_argument("--model_prefix", default="")
+    p.add_argument("--model_key", default="model|module")
     p.add_argument("--crop_pct", type=float, default=None)
     p.add_argument("--version", default="1.0")
+    p.add_argument("--dist_url", default="env://")
+    p.add_argument("--eval_data_path", default=None)
+    p.add_argument("--local_rank", default=-1, type=int)
+    p.add_argument("--world_size", default=1, type=int)
+    p.add_argument("--warmup_steps", default=-1, type=int)
+    p.add_argument("--weight_decay_end", default=None, type=float)
+    p.add_argument("--aa", default="rand-m9-mstd0.5-inc1")
+    p.add_argument("--color_jitter", default=0.4, type=float)
+    p.add_argument("--train_interpolation", default="bicubic")
+    p.add_argument("--reprob", default=0.25, type=float)
+    p.add_argument("--remode", default="pixel")
+    p.add_argument("--recount", default=1, type=int)
+    p.add_argument("--mixup", default=0.0, type=float)
+    p.add_argument("--cutmix", default=0.0, type=float)
+    p.add_argument("--cutmix_minmax", nargs="+", type=float, default=None)
+    p.add_argument("--mixup_prob", default=1.0, type=float)
+    p.add_argument("--mixup_switch_prob", default=0.5, type=float)
+    p.add_argument("--mixup_mode", default="batch")
     p.add_argument("--test_scores_dir", default=None)
     return p
 
@@ -108,6 +137,7 @@ def config_from_args(args) -> FinetuneConfig:
             warmup_epochs=args.warmup_epochs, betas=tuple(args.opt_betas),
             update_freq=args.update_freq, layer_decay=args.layer_decay,
             layer_decay_type=args.layer_decay_type, clip_grad=args.clip_grad,
+            opt=args.opt, opt_eps=args.opt_eps, momentum=args.momentum,
         ),
         run=RunConfig(
             epochs=args.epochs, start_epoch=args.start_epoch, seed=args.seed,

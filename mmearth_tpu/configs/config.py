@@ -104,6 +104,11 @@ class OptimConfig:
     layer_decay: float = 1.0
     layer_decay_type: str = "single"  # or "group"
     clip_grad: float | None = None
+    # reference --opt family (optim_factory.py:149-252); finetune only —
+    # pretrain hard-codes AdamW like the reference (main_pretrain.py:320)
+    opt: str = "adamw"
+    opt_eps: float = 1e-8
+    momentum: float = 0.9
 
     def absolute_lr(self, eff_batch_size: int) -> float:
         # reference main_pretrain.py:297-298

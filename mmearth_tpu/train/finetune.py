@@ -239,7 +239,8 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
             params, schedule, cfg.optim.weight_decay, cfg.optim.betas,
             cfg.optim.layer_decay, cfg.optim.layer_decay_type, depths,
             trainable_mask=mask, update_freq=cfg.optim.update_freq,
-            clip_grad=cfg.optim.clip_grad,
+            clip_grad=cfg.optim.clip_grad, opt=cfg.optim.opt,
+            opt_eps=cfg.optim.opt_eps, momentum=cfg.optim.momentum,
         )
 
     ema_decay = cfg.model_ema_decay if cfg.model_ema else None

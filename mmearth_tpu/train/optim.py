@@ -166,6 +166,59 @@ def mask_updates(trainable_mask) -> optax.GradientTransformation:
 
 
 # ---------------------------------------------------------------------------
+# optimizer families (reference optim_factory.py:149-252)
+# ---------------------------------------------------------------------------
+def _opt_scaler(opt: str, betas, eps: float, momentum: float):
+    """Map a reference ``--opt`` name to (optax scaler, decoupled_wd).
+
+    Torch semantics: only AdamW decouples weight decay; every other family
+    applies coupled L2 (wd*param added to the gradient before the momentum /
+    adaptive statistics), so the caller must place add_decayed_weights before
+    a coupled scaler and after a decoupled one.  ``fused*`` prefixes (apex)
+    map to the plain family — under XLA everything is fused anyway.  Exact
+    torch-trajectory parity is tested for sgd/momentum/nesterov/adam/adamw
+    (tests/test_opt_families.py); nadam/radam/adadelta/rmsprop/novograd/lamb
+    use the optax definitions, which differ from timm's in minor details
+    (PARITY.md).  adamp/sgdp/adahessian have no optax equivalent -> error,
+    as the reference errors without its optional deps.
+    """
+    o = opt.lower()
+    if o.startswith("fused"):
+        o = o[len("fused"):]
+    b1, b2 = betas
+    if o == "adamw":
+        return optax.scale_by_adam(b1=b1, b2=b2, eps=eps), True
+    if o == "adam":
+        return optax.scale_by_adam(b1=b1, b2=b2, eps=eps), False
+    if o == "nadam":
+        return optax.scale_by_adam(b1=b1, b2=b2, eps=eps, nesterov=True), False
+    if o == "radam":
+        return optax.scale_by_radam(b1=b1, b2=b2, eps=eps), False
+    if o in ("sgd", "nesterov"):
+        return optax.trace(decay=momentum, nesterov=True), False
+    if o == "momentum":
+        return optax.trace(decay=momentum, nesterov=False), False
+    if o == "adadelta":
+        return optax.scale_by_adadelta(eps=eps), False
+    if o == "adafactor":
+        return optax.scale_by_factored_rms(), False
+    if o in ("rmsprop", "rmsproptf"):
+        # torch.optim.RMSprop(alpha=0.9, momentum=momentum) (optim_factory
+        # :216-221): eps outside the sqrt; the tf variant differs only in
+        # eps placement/init.
+        return optax.chain(
+            optax.scale_by_rms(decay=0.9, eps=eps, eps_in_sqrt=False),
+            optax.trace(decay=momentum, nesterov=False),
+        ), False
+    if o in ("novograd", "nvnovograd"):
+        return optax.scale_by_novograd(b1=b1, b2=b2, eps=eps), False
+    if o == "lamb":
+        # wd folds in before the trust-ratio normalization (as in optax.lamb)
+        return optax.scale_by_adam(b1=b1, b2=b2, eps=eps), "lamb"
+    raise ValueError(f"Optimizer {opt!r} not supported (reference optim_factory.py:252)")
+
+
+# ---------------------------------------------------------------------------
 # builders
 # ---------------------------------------------------------------------------
 def make_pretrain_optimizer(
@@ -203,6 +256,9 @@ def make_finetune_optimizer(
     trainable_mask=None,
     update_freq: int = 1,
     clip_grad: float | None = None,
+    opt: str = "adamw",
+    opt_eps: float = 1e-8,
+    momentum: float = 0.9,
 ) -> optax.GradientTransformation:
     wd_mask = finetune_wd_mask(params)
     if trainable_mask is not None:
@@ -215,11 +271,18 @@ def make_finetune_optimizer(
         # (torch computes the norm over requires_grad params only,
         # helpers.py:476-500 + main_finetune.py:629)
         chain.append(optax.clip_by_global_norm(clip_grad))
-    chain += [
-        optax.scale_by_adam(b1=betas[0], b2=betas[1]),
-        optax.add_decayed_weights(weight_decay, mask=wd_mask),
-        optax.scale_by_learning_rate(lr_schedule),
-    ]
+    scaler, decoupled = _opt_scaler(opt, betas, opt_eps, momentum)
+    if decoupled == "lamb":
+        chain += [scaler,
+                  optax.add_decayed_weights(weight_decay, mask=wd_mask),
+                  optax.scale_by_trust_ratio()]
+    elif decoupled:
+        chain += [scaler, optax.add_decayed_weights(weight_decay, mask=wd_mask)]
+    else:
+        # coupled L2: decay enters the gradient before the momentum/adaptive
+        # statistics (torch non-AdamW semantics)
+        chain += [optax.add_decayed_weights(weight_decay, mask=wd_mask), scaler]
+    chain.append(optax.scale_by_learning_rate(lr_schedule))
     if layer_decay != 1.0:
         chain.append(scale_by_pytree(layer_lr_scales(params, layer_decay, depths, layer_decay_type)))
     tx = optax.chain(*chain)

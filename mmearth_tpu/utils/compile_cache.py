@@ -38,7 +38,14 @@ def enable_compilation_cache(cache_dir: str | os.PathLike | None = None) -> str 
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
         import jax
 
+        prev = jax.config.jax_compilation_cache_dir
         jax.config.update("jax_compilation_cache_dir", cache_dir)
+        if prev is not None and prev != cache_dir:
+            # The cache singleton latches the directory on first use; a later
+            # dir change needs an explicit reset to take effect.
+            from jax.experimental.compilation_cache.compilation_cache import reset_cache
+
+            reset_cache()
         # Default threshold skips sub-second compiles; cache everything that
         # takes >=1 s so the flagship step + the bench variants all hit.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -158,3 +158,29 @@ def test_gelu_approx_changes_little():
     assert not np.array_equal(y0, y1)  # the flag does something
     rel = np.abs(y0 - y1).max() / (np.abs(y0).max() + 1e-12)
     assert rel < 5e-2, rel  # ...but stays a small perturbation
+
+
+def test_opt_flag_reaches_optimizer():
+    """--opt/--opt_eps/--momentum flow façade -> config -> builder, and a
+    reference-style command line with the full torch flag surface parses."""
+    import main_finetune
+
+    args = main_finetune.get_args_parser().parse_args(
+        ["--data_set", "m-eurosat", "--opt", "sgd", "--momentum", "0.8",
+         "--opt_eps", "1e-7", "--use_amp", "True", "--mixup", "0.8",
+         "--reprob", "0.25", "--aa", "rand-m9-mstd0.5-inc1",
+         "--model_key", "model", "--warmup_steps", "100"]
+    )
+    cfg = main_finetune.config_from_args(args)
+    assert cfg.optim.opt == "sgd"
+    assert cfg.optim.momentum == 0.8
+    assert cfg.optim.opt_eps == 1e-7
+
+    params = {"w": jnp.ones((3, 3))}
+    tx_sgd = optim_lib.make_finetune_optimizer(
+        params, lambda _: 0.1, opt=cfg.optim.opt, momentum=cfg.optim.momentum)
+    tx_adamw = optim_lib.make_finetune_optimizer(params, lambda _: 0.1)
+    g = {"w": jnp.full((3, 3), 0.2)}
+    u_sgd, _ = tx_sgd.update(g, tx_sgd.init(params), params)
+    u_adamw, _ = tx_adamw.update(g, tx_adamw.init(params), params)
+    assert not np.allclose(np.asarray(u_sgd["w"]), np.asarray(u_adamw["w"]))
