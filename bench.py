@@ -48,6 +48,36 @@ def _device_info():
     return kind, peak
 
 
+def _require_device(timeout_s: float | None = None):
+    """Fail fast with an honest one-line JSON error if the accelerator
+    backend cannot initialize.  A TPU relay/plugin outage otherwise blocks
+    backend init for ~25 minutes before raising, leaving the caller with a
+    hang instead of a parseable result.  BENCH_DEVICE_TIMEOUT overrides the
+    default 600 s bound."""
+    import os
+    import threading
+
+    timeout_s = timeout_s or float(os.environ.get("BENCH_DEVICE_TIMEOUT", "600"))
+    ready: list = []
+
+    def probe():
+        import jax
+
+        ready.append(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ready:
+        _emit({
+            "metric": "mpmae_atto_mmearth64_pretrain_samples_per_sec_per_chip",
+            "value": 0.0, "unit": "samples/s/chip", "vs_baseline": 0.0,
+            "error": f"accelerator backend failed to initialize within "
+                     f"{timeout_s:.0f}s (relay/plugin outage); no measurement taken",
+        })
+        os._exit(3)
+
+
 def _emit(out: dict):
     print(json.dumps(out))
 
@@ -442,6 +472,7 @@ def main():
 
     honor_cpu_platform_env()
     enable_compilation_cache()
+    _require_device()
     if args.input != "synthetic":
         bench_input_path(args.input)
     elif args.config in ("finetune", "seg"):
