@@ -77,10 +77,12 @@ def get_args_parser():
                    help="tanh-approximate GELU (~1e-3-relative deviation from "
                         "the reference's exact erf GELU; measured NOT a v5e "
                         "perf win — see ROADMAP.md)")
-    p.add_argument("--loader", choices=["mmpack", "grain"], default="mmpack",
+    p.add_argument("--loader", choices=["mmpack", "grain", "hdf5"], default="mmpack",
                    help="input pipeline: mmpack = memory-mapped local tensors; "
                         "grain = Grain/ArrayRecord (cloud-storage-friendly, "
-                        "checkpointable iterator)")
+                        "checkpointable iterator); hdf5 = stream straight from "
+                        "the HDF5, no packing step (the reference no_ffcv path; "
+                        "slower, but no second on-disk copy)")
     p.add_argument("--order", choices=["random", "quasi_random", "sequential"],
                    default=None,
                    help="mmpack train sampling order (FFCV OrderOption parity; "

@@ -95,6 +95,27 @@ def get_dataloader(cfg: PretrainConfig, split: str = "train"):
 
         return _Count(), loader
 
+    if cfg.data.loader == "hdf5":
+        from ..data.mmearth import HDF5StreamLoader, MMEarthDataset
+
+        ds = MMEarthDataset(cfg.data.data_dir, cfg.data.modalities, split=split)
+        loader = HDF5StreamLoader(
+            ds,
+            batch_size=cfg.data.batch_size * jax.local_device_count(),
+            shuffle=is_train,
+            drop_last=is_train,
+            seed=cfg.run.seed,
+            shard=(jax.process_index(), jax.process_count()),
+            indices=indices[0] if indices else None,
+        )
+        if indices:  # --debug: len(ds) must reflect the subset (LR schedule)
+            class _Sub:
+                def __len__(self_inner):
+                    return len(indices[0])
+
+            return _Sub(), loader
+        return ds, loader
+
     packed = pack_mmearth(
         cfg.data.data_dir, processed, cfg.data.modalities, splits=(split,), indices=indices
     )[0]
