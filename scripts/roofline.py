@@ -142,6 +142,9 @@ def main():
     from bench import _pretrain_setup
     from mmearth_tpu.parallel import mesh as mesh_lib
     from mmearth_tpu.utils import profiling
+    from mmearth_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     model, mesh, state, step, batch_np, batch, n_chips = _pretrain_setup(
         56, 8, "convnextv2_atto", 256)

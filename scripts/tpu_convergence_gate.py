@@ -29,6 +29,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mmearth_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from bench import _pretrain_setup
     from mmearth_tpu.parallel import mesh as mesh_lib
 
