@@ -48,13 +48,14 @@ def _device_info():
     return kind, peak
 
 
-def _require_device(timeout_s: float | None = None):
+def _require_device(metric: str, timeout_s: float | None = None):
     """Fail fast with an honest one-line JSON error if the accelerator
     backend cannot initialize.  A TPU relay/plugin outage otherwise blocks
     backend init for ~25 minutes before raising, leaving the caller with a
     hang instead of a parseable result.  BENCH_DEVICE_TIMEOUT overrides the
     default 600 s bound."""
     import os
+    import sys
     import threading
 
     timeout_s = timeout_s or float(os.environ.get("BENCH_DEVICE_TIMEOUT", "600"))
@@ -70,11 +71,12 @@ def _require_device(timeout_s: float | None = None):
     t.join(timeout_s)
     if not ready:
         _emit({
-            "metric": "mpmae_atto_mmearth64_pretrain_samples_per_sec_per_chip",
+            "metric": metric,
             "value": 0.0, "unit": "samples/s/chip", "vs_baseline": 0.0,
             "error": f"accelerator backend failed to initialize within "
                      f"{timeout_s:.0f}s (relay/plugin outage); no measurement taken",
         })
+        sys.stdout.flush()  # os._exit skips stdio flushing
         os._exit(3)
 
 
@@ -472,7 +474,16 @@ def main():
 
     honor_cpu_platform_env()
     enable_compilation_cache()
-    _require_device()
+    metric = {
+        "atto56": "mpmae_atto_mmearth64_pretrain_samples_per_sec_per_chip",
+        "tiny112": "mpmae_tiny_mmearth128_pretrain_samples_per_sec_per_chip",
+        "finetune": "geobench_cls_finetune_atto112_img_per_sec_per_chip",
+        "seg": "geobench_seg_finetune_unet_atto112_img_per_sec_per_chip",
+    }[args.config]
+    if args.input != "synthetic":
+        metric = (f"mpmae_atto_mmearth64_pretrain_samples_per_sec_per_chip_"
+                  f"{args.input}_input")
+    _require_device(metric)
     if args.input != "synthetic":
         bench_input_path(args.input)
     elif args.config in ("finetune", "seg"):

@@ -105,7 +105,7 @@ def get_args_parser():
     p.add_argument("--version", default="1.0")
     p.add_argument("--dist_url", default="env://")
     p.add_argument("--eval_data_path", default=None)
-    p.add_argument("--local_rank", default=-1, type=int)
+    p.add_argument("--local_rank", "--local-rank", default=-1, type=int)
     p.add_argument("--world_size", default=1, type=int)
     p.add_argument("--warmup_steps", default=-1, type=int)
     p.add_argument("--weight_decay_end", default=None, type=float)

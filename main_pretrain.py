@@ -91,9 +91,11 @@ def get_args_parser():
     # accepted for reference compatibility; no-ops on TPU
     for flag, default in [
         ("--device", "tpu"), ("--dist_url", "env://"), ("--crop_pct", None),
-        ("--world_size", 1), ("--local-rank", -1),
+        ("--world_size", 1),
     ]:
         p.add_argument(flag, default=default)
+    # torch.distributed.launch injects --local-rank (torch>=2) or --local_rank
+    p.add_argument("--local_rank", "--local-rank", default=-1, type=int)
     p.add_argument("--dist_on_itp", type=str2bool, default=False)
     p.add_argument("--use_mixed", type=str2bool, default=False)
     p.add_argument("--sparse", type=str2bool, default=True)

@@ -89,7 +89,8 @@ class PackedLoader:
         self.seed = seed
         self.shard = shard
         self.base_indices = (
-            np.arange(dataset.count) if indices is None else np.asarray(indices)
+            np.arange(getattr(dataset, "count", len(dataset)))
+            if indices is None else np.asarray(indices)
         )
         self.prefetch = prefetch
         # reference --num_workers (DataLoader forks / FFCV threads): here the
@@ -135,25 +136,47 @@ class PackedLoader:
     def __len__(self):
         return len(self._epoch_batches())
 
+    # hooks a subclass can override to serve another storage backend
+    def _gather_batch(self, rows: np.ndarray) -> dict[str, np.ndarray]:
+        # sorted gather = sequential-ish reads from the memmap
+        return self.dataset.gather(np.sort(rows), self.num_workers)
+
+    def _prefetch_hint(self, rows: np.ndarray) -> None:
+        self.dataset.prefetch(np.sort(rows))
+
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
         batches = self._epoch_batches()
         if self.prefetch <= 0:
             for rows in batches:
-                yield self.dataset.gather(np.sort(rows), self.num_workers)
+                yield self._gather_batch(rows)
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that gives up once the consumer is gone, so an
+            # abandoned iterator cannot leak a thread blocked on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
-            for bi, rows in enumerate(batches):
-                if stop.is_set():
-                    return
-                if bi + 1 < len(batches):
-                    self.dataset.prefetch(np.sort(batches[bi + 1]))
-                # sorted gather = sequential-ish reads from the memmap
-                q.put(self.dataset.gather(np.sort(rows), self.num_workers))
-            q.put(None)
+            try:
+                for bi, rows in enumerate(batches):
+                    if stop.is_set():
+                        return
+                    if bi + 1 < len(batches):
+                        self._prefetch_hint(batches[bi + 1])
+                    if not put(self._gather_batch(rows)):
+                        return
+                put(None)
+            except BaseException as e:  # propagate IO/decode errors instead
+                put(e)                  # of deadlocking the consumer
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -162,6 +185,8 @@ class PackedLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -26,6 +26,7 @@ from typing import Mapping, Sequence
 import numpy as np
 
 from ..configs import modalities as M
+from .loader import PackedLoader
 
 
 def find_data_files(data_root: Path) -> dict[str, Path]:
@@ -129,7 +130,7 @@ class MMEarthDataset:
         return out
 
 
-class HDF5StreamLoader:
+class HDF5StreamLoader(PackedLoader):
     """Stream training batches straight from the HDF5 — the reference's
     ``no_ffcv`` DataLoader path (mmearth_dataset.py:273-277,
     main_pretrain.py:243-252).  No packing step, no second copy of the
@@ -139,11 +140,9 @@ class HDF5StreamLoader:
     quick experiments or storage-constrained hosts; mmpack/grain for
     production runs.
 
-    Interface-compatible with PackedLoader where the pretrain driver needs
-    it: ``set_epoch`` / ``__len__`` / ``__iter__`` yielding
-    ``{modality: (B, ...) np.ndarray}`` with per-host sharding and a
-    one-batch prefetch thread (reads are serialized by a lock — h5py
-    handles are not thread-safe)."""
+    Shares PackedLoader's epoch-shuffle / sharding / drop_last / prefetch
+    machinery; only the per-batch gather differs (lock-serialized — h5py
+    handles are not thread-safe across the prefetch thread and stragglers)."""
 
     def __init__(
         self,
@@ -156,70 +155,26 @@ class HDF5StreamLoader:
         indices: Sequence[int] | None = None,
         prefetch: int = 2,
     ):
-        self.dataset = dataset
-        self.batch_size = batch_size
-        self.shuffle = shuffle
-        self.drop_last = drop_last
-        self.seed = seed
-        self.shard = shard
-        self.base_indices = (
-            np.arange(len(dataset)) if indices is None else np.asarray(indices)
-        )
-        self.prefetch = prefetch
-        self.epoch = 0
         import threading
 
+        super().__init__(
+            dataset, batch_size, shuffle=shuffle, drop_last=drop_last,
+            seed=seed, shard=shard, indices=indices, prefetch=prefetch,
+        )
         self._read_lock = threading.Lock()
 
-    def set_epoch(self, epoch: int):
-        self.epoch = epoch
+    def _prefetch_hint(self, rows: np.ndarray) -> None:
+        pass  # no memmap to page in; the h5 chunk cache does its own thing
 
-    def _epoch_batches(self) -> list[np.ndarray]:
-        idx = self.base_indices
-        if self.shuffle:
-            idx = np.random.default_rng(self.seed + self.epoch).permutation(idx)
-        rank, world = self.shard
-        idx = idx[rank::world]
-        n = len(idx) // self.batch_size
-        batches = [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(n)]
-        if not self.drop_last and n * self.batch_size < len(idx):
-            batches.append(idx[n * self.batch_size :])
-        return batches
-
-    def __len__(self):
-        return len(self._epoch_batches())
-
-    def _collate(self, rows: np.ndarray) -> dict[str, np.ndarray]:
+    def _gather_batch(self, rows: np.ndarray) -> dict[str, np.ndarray]:
         with self._read_lock:
-            # sorted reads = forward-seeking IO in the h5 chunks
+            # sorted reads = forward-seeking IO through the h5 chunks
             samples = [self.dataset[int(i)] for i in np.sort(rows)]
         out = {}
         for key in samples[0]:
             if key == "id":
                 continue
             stacked = np.stack([s[key] for s in samples])
+            # int32 on the wire (pack.py parity; values fit)
             out[key] = stacked.astype(np.int32) if stacked.dtype == np.int64 else stacked
         return out
-
-    def __iter__(self):
-        import queue
-        import threading
-
-        batches = self._epoch_batches()
-        if self.prefetch <= 0:
-            for rows in batches:
-                yield self._collate(rows)
-            return
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-
-        def worker():
-            for rows in batches:
-                q.put(self._collate(rows))
-            q.put(None)
-
-        threading.Thread(target=worker, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item

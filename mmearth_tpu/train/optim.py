@@ -171,10 +171,12 @@ def mask_updates(trainable_mask) -> optax.GradientTransformation:
 def _opt_scaler(opt: str, betas, eps: float, momentum: float):
     """Map a reference ``--opt`` name to (optax scaler, decoupled_wd).
 
-    Torch semantics: only AdamW decouples weight decay; every other family
-    applies coupled L2 (wd*param added to the gradient before the momentum /
+    Torch semantics: only AdamW decouples weight decay; the other families
+    apply coupled L2 (wd*param added to the gradient before the momentum /
     adaptive statistics), so the caller must place add_decayed_weights before
-    a coupled scaler and after a decoupled one.  ``fused*`` prefixes (apex)
+    a coupled scaler and after a decoupled one.  Exceptions: lamb folds wd in
+    before the trust-ratio normalization, and novograd applies wd after its
+    per-layer gradient normalization — both signalled by a marker.  ``fused*`` prefixes (apex)
     map to the plain family — under XLA everything is fused anyway.  Exact
     torch-trajectory parity is tested for sgd/momentum/nesterov/adam/adamw
     (tests/test_opt_families.py); nadam/radam/adadelta/rmsprop/novograd/lamb
@@ -211,7 +213,11 @@ def _opt_scaler(opt: str, betas, eps: float, momentum: float):
             optax.trace(decay=momentum, nesterov=False),
         ), False
     if o in ("novograd", "nvnovograd"):
-        return optax.scale_by_novograd(b1=b1, b2=b2, eps=eps), False
+        # wd is applied AFTER the per-layer gradient normalization (timm
+        # NvNovoGrad / optax semantics) — handled by the caller, which
+        # partitions by the wd mask because scale_by_novograd's own
+        # weight_decay is unmasked
+        return (b1, b2), "novograd"
     if o == "lamb":
         # wd folds in before the trust-ratio normalization (as in optax.lamb)
         return optax.scale_by_adam(b1=b1, b2=b2, eps=eps), "lamb"
@@ -276,6 +282,15 @@ def make_finetune_optimizer(
         chain += [scaler,
                   optax.add_decayed_weights(weight_decay, mask=wd_mask),
                   optax.scale_by_trust_ratio()]
+    elif decoupled == "novograd":
+        b1, b2 = scaler
+        labels = jax.tree_util.tree_map(lambda m: "wd" if m else "nowd", wd_mask)
+        chain.append(optax.multi_transform(
+            {"wd": optax.scale_by_novograd(b1=b1, b2=b2, eps=opt_eps,
+                                           weight_decay=weight_decay),
+             "nowd": optax.scale_by_novograd(b1=b1, b2=b2, eps=opt_eps)},
+            labels,
+        ))
     elif decoupled:
         chain += [scaler, optax.add_decayed_weights(weight_decay, mask=wd_mask)]
     else:

@@ -18,17 +18,28 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
-_DONE = False
+_ACTIVE: str | None = None
 
 
 def enable_compilation_cache(cache_dir: str | os.PathLike | None = None) -> str | None:
     """Enable JAX's persistent compilation cache; returns the directory used,
-    or None if disabled/unavailable.  Idempotent; safe before or after
+    or None if disabled/unavailable.  Idempotent — a second no-arg call (the
+    drivers and the bench both call this) keeps whatever directory is already
+    active; an explicit ``cache_dir`` redirects.  Safe before or after
     backend initialization (entries are keyed on HLO + device kind, so CPU
     tests and TPU runs share a directory without collisions)."""
-    global _DONE
+    global _ACTIVE
     if os.environ.get("MMEARTH_TPU_NO_COMPILE_CACHE", "") not in ("", "0"):
         return None
+    if cache_dir is None and _ACTIVE is not None:
+        try:
+            import jax
+
+            if jax.config.jax_compilation_cache_dir != _ACTIVE:
+                jax.config.update("jax_compilation_cache_dir", _ACTIVE)
+        except Exception:
+            return None
+        return _ACTIVE
     cache_dir = str(
         cache_dir
         or os.environ.get("MMEARTH_TPU_COMPILE_CACHE")
@@ -50,7 +61,7 @@ def enable_compilation_cache(cache_dir: str | os.PathLike | None = None) -> str 
         # takes >=1 s so the flagship step + the bench variants all hit.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        _DONE = True
+        _ACTIVE = cache_dir
         return cache_dir
     except Exception:
         return None

@@ -74,3 +74,41 @@ def test_debug_indices_subset(h5dir):
     assert len(batches) == 3
     np.testing.assert_allclose(
         batches[0]["sentinel2"][0], ds[0]["sentinel2"], equal_nan=True)
+
+
+def test_prefetch_worker_error_propagates(h5dir):
+    """A read error mid-epoch must raise in the consumer, not deadlock the
+    prefetch queue (the worker forwards exceptions through the queue)."""
+    ds = MMEarthDataset(h5dir, _mods(), split="train")
+
+    class Boom(MMEarthDataset):
+        def __init__(self):  # share the open file/state
+            self.__dict__.update(ds.__dict__)
+
+        def __getitem__(self, idx):
+            if idx >= 8:
+                raise RuntimeError("corrupt chunk")
+            return super().__getitem__(idx)
+
+    loader = HDF5StreamLoader(Boom(), batch_size=4, shuffle=False, prefetch=2)
+    with pytest.raises(RuntimeError, match="corrupt chunk"):
+        for _ in loader:
+            pass
+
+
+def test_abandoned_iterator_reclaims_thread(h5dir):
+    """`next(iter(loader))` (the driver's shape probe) must not leak a worker
+    thread blocked on a full prefetch queue."""
+    import gc
+    import threading
+    import time
+
+    ds = MMEarthDataset(h5dir, _mods(), split="train")
+    loader = HDF5StreamLoader(ds, batch_size=2, shuffle=False, prefetch=1)
+    base = threading.active_count()
+    next(iter(loader))
+    gc.collect()
+    deadline = time.time() + 8
+    while threading.active_count() > base and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= base

@@ -93,3 +93,34 @@ def test_unsupported_raises():
     params = {"w": jnp.ones((2, 2))}
     with pytest.raises(ValueError, match="adahessian"):
         optim_lib.make_finetune_optimizer(params, lambda _: 0.1, opt="adahessian")
+
+
+def test_novograd_matches_optax_alias():
+    """Our novograd chain (wd after the per-layer normalization, partitioned
+    by the wd mask) must match optax.novograd exactly when every leaf is in
+    the decay group."""
+    import optax
+
+    w0, _, x, y = _problem()
+    lr, wd = 0.05, 0.3
+    # all-decayed tree: a single >1-dim kernel leaf
+    params = {"dense": {"kernel": jnp.asarray(w0)}}
+    tx_ref = optax.novograd(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd)
+    tx_ours = optim_lib.make_finetune_optimizer(
+        params, lambda _: lr, weight_decay=wd, betas=(0.9, 0.999),
+        layer_decay=1.0, opt="novograd")
+    s_ref, s_ours = tx_ref.init(params), tx_ours.init(params)
+    p_ref = p_ours = params
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    def loss_fn(p):
+        return jnp.mean((xj @ p["dense"]["kernel"] - yj) ** 2)
+
+    for _ in range(4):
+        u, s_ref = tx_ref.update(jax.grad(loss_fn)(p_ref), s_ref, p_ref)
+        p_ref = jax.tree_util.tree_map(lambda p, d: p + d, p_ref, u)
+        u, s_ours = tx_ours.update(jax.grad(loss_fn)(p_ours), s_ours, p_ours)
+        p_ours = jax.tree_util.tree_map(lambda p, d: p + d, p_ours, u)
+    np.testing.assert_allclose(np.asarray(p_ours["dense"]["kernel"]),
+                               np.asarray(p_ref["dense"]["kernel"]),
+                               rtol=1e-6, atol=1e-7)
