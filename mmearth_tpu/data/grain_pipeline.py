@@ -285,3 +285,36 @@ class GrainLoader:
             self._raw.set_state(obj["grain"].encode("utf-8"))
         else:  # legacy layout: bare Grain iterator state
             self._raw.set_state(state)
+
+
+def main():
+    """Offline packing CLI: python -m mmearth_tpu.data.grain_pipeline
+    (the grain-side counterpart of data/pack.py's mmpack CLI)."""
+    import argparse
+
+    from ..configs import modalities as M
+    from .mmearth import MMEarthDataset
+
+    ap = argparse.ArgumentParser(description="Pack MMEarth HDF5 into ArrayRecord shards")
+    ap.add_argument("--data_dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--splits", nargs="+", default=["train"])
+    ap.add_argument("--modalities", choices=["default", "rgb", "inp_only"], default="default")
+    ap.add_argument("--shard_size", type=int, default=4096)
+    args = ap.parse_args()
+    mods = {
+        "default": {**M.INP_MODALITIES, **M.OUT_MODALITIES},
+        "rgb": M.RGB_MODALITIES,
+        "inp_only": M.INP_MODALITIES,
+    }[args.modalities]
+    from pathlib import Path
+
+    for split in args.splits:
+        ds = MMEarthDataset(args.data_dir, mods, split=split)
+        dest = Path(args.out) / f"{split}_arrayrecord"
+        print(f"packing split {split!r} ({len(ds)} samples) -> {dest}")
+        pack_arrayrecord(ds, dest, shard_size=args.shard_size)
+
+
+if __name__ == "__main__":
+    main()
