@@ -271,6 +271,13 @@ def bench_input_path(kind: str, n_samples: int = 4096, per_chip_batch: int = 256
         loader = PackedLoader(ds, batch_size=batch_size, shuffle=True,
                               drop_last=True, order="quasi_random")
         n_train = ds.count
+    elif kind == "hdf5":
+        from mmearth_tpu.data.mmearth import HDF5StreamLoader, MMEarthDataset
+
+        src = MMEarthDataset(synth, mods, split="train")
+        loader = HDF5StreamLoader(src, batch_size=batch_size, shuffle=True,
+                                  drop_last=True)
+        n_train = len(src)
     else:
         from mmearth_tpu.data.grain_pipeline import GrainLoader, pack_arrayrecord
         from mmearth_tpu.data.mmearth import MMEarthDataset
@@ -467,7 +474,7 @@ def main():
     p.add_argument("--config", default="atto56",
                    choices=["atto56", "tiny112", "finetune", "seg"])
     p.add_argument("--input", default="synthetic",
-                   choices=["synthetic", "mmpack", "grain"])
+                   choices=["synthetic", "mmpack", "grain", "hdf5"])
     args = p.parse_args()
     from mmearth_tpu.parallel.mesh import honor_cpu_platform_env
     from mmearth_tpu.utils.compile_cache import enable_compilation_cache
