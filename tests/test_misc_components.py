@@ -50,3 +50,32 @@ def test_diagnostics_runs(capsys):
     print_diagnostics()
     out = capsys.readouterr().out
     assert "jax:" in out and "devices:" in out
+
+
+def test_visualize_panels(tmp_path):
+    """eval/visualize renders the 4-panel figure per pixel modality
+    (reference visualize_masking.py:58-330) from a random-init model."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmearth_tpu.configs import modalities as M
+    from mmearth_tpu.eval import visualize as V
+    from mmearth_tpu.models import fcmae as fcmae_lib
+    from __graft_entry__ import _synthetic_batch
+
+    model = fcmae_lib.FCMAE(
+        img_size=32, patch_size=8, depths=(1, 1, 1, 1), dims=(8, 16, 32, 64),
+        decoder_depth=1, decoder_embed_dim=32, sparse=True,
+        inp_modalities=M.INP_MODALITIES, out_modalities=M.OUT_MODALITIES,
+        dtype=jnp.float32,
+    )
+    batch = {k: jnp.asarray(v[:, :32, :32] if v.ndim == 4 else v)
+             for k, v in _synthetic_batch(2, 32).items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        fcmae_lib.zero_nan_inputs(batch))
+    maps, mask = V.run_one_batch(model, variables["params"], batch)
+    out = V.render_panels(model, batch, maps, mask, tmp_path / "viz")
+    pngs = sorted(p.name for p in out.glob("*.png"))
+    assert "sentinel2.png" in pngs and "dynamic_world.png" in pngs
+    assert len(pngs) >= 4
