@@ -315,29 +315,30 @@ def _ref_args(ref):
     )
 
 
-def _build_ref_fcmae(ref, seed=0):
+def _build_ref_fcmae(ref, seed=0, norm_pix_loss=False):
     torch.manual_seed(seed)
     loss_fn = ref.custom_loss.UncertaintyWeightingStrategy(len(M.OUT_MODALITIES))
     with torch.no_grad():
         loss_fn.log_vars += torch.randn(len(M.OUT_MODALITIES)) * 0.1
     model = ref.fcmae.FCMAE(
         img_size=IMG, patch_size=PATCH, depths=list(DEPTHS), dims=list(DIMS),
-        decoder_depth=1, decoder_embed_dim=512, norm_pix_loss=False,
+        decoder_depth=1, decoder_embed_dim=512, norm_pix_loss=norm_pix_loss,
         args=_ref_args(ref), loss_fn=loss_fn, sparse=False,
     )
     model.eval()
     return model
 
 
-def _jax_fcmae(padding_mode="reference"):
+def _jax_fcmae(padding_mode="reference", **kwargs):
     return fc.convnextv2_atto(
         img_size=IMG, patch_size=PATCH, sparse=False, padding_mode=padding_mode,
         loss_aggr="uncertainty", decoder_depth=1, decoder_embed_dim=512,
         inp_modalities=M.INP_MODALITIES, out_modalities=M.OUT_MODALITIES,
+        **kwargs,
     )
 
 
-def _run_both(ref, tmodel, batch, mask_np):
+def _run_both(ref, tmodel, batch, mask_np, jax_kwargs=None):
     """Run reference + converted flax FCMAE on the same batch/mask."""
     tmodel.gen_random_mask = lambda x, r: torch.from_numpy(mask_np)
     tbatch = {k: v.clone() for k, v in batch.items()}
@@ -354,7 +355,7 @@ def _run_both(ref, tmodel, batch, mask_np):
         a = v.numpy()
         jbatch[k] = jnp.asarray(a.transpose(0, 2, 3, 1) if a.ndim == 4 else a)
     jbatch = fc.zero_nan_inputs(jbatch)  # fcmae.py:445-449 equivalent
-    jmodel = _jax_fcmae()
+    jmodel = _jax_fcmae(**(jax_kwargs or {}))
     jloss, jpred, _, jloss_dict, _, _ = jmodel.apply(
         {"params": params}, jbatch, mask=jnp.asarray(mask_np)
     )
@@ -482,3 +483,21 @@ def test_dense_classifier_parity_other_sizes(ref, name, depths, dims):
     )
     got = np.asarray(jmodel.apply({"params": params}, _to_nhwc(x)))
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_fcmae_norm_pix_golden_parity(ref):
+    """--norm_pix_loss True: per-patch target normalization applies to
+    sentinel2 only (fcmae.py:366-403); golden vs the reference model."""
+    tmodel = _build_ref_fcmae(ref, seed=3, norm_pix_loss=True)
+    batch = _make_batch(seed=3)
+    L = (IMG // PATCH) ** 2
+    mask_np = (np.random.default_rng(9).random((2, L)) < 0.6).astype(np.float32)
+    (tloss, _, tld), (jloss, _, jld) = _run_both(
+        ref, tmodel, batch, mask_np, jax_kwargs={"norm_pix_loss": True})
+
+    np.testing.assert_allclose(
+        float(jld["sentinel2"]), float(tld["sentinel2"]), rtol=5e-4,
+        err_msg="norm_pix sentinel2 loss")
+    # a second modality stays norm_pix-free (the flag is sentinel2-only)
+    np.testing.assert_allclose(float(jld["sentinel1"]), float(tld["sentinel1"]), rtol=5e-4)
+    np.testing.assert_allclose(float(jloss), float(tloss), rtol=5e-4)
