@@ -27,9 +27,10 @@ def trace(log_dir: str = "/tmp/mmearth_trace"):
     print(f"profiler trace written to {log_dir}")
 
 
-def summarize_trace(log_dir: str, top: int = 25) -> list[tuple[str, float, int]]:
+def summarize_trace(log_dir: str, top: int = 25, device: str = "TPU") -> list[tuple[str, float, int]]:
     """Aggregate device-op durations from a captured trace.  Returns
-    [(op_name, total_ms, count)] sorted by total time."""
+    [(op_name, total_ms, count)] sorted by total time.  ``device`` filters the
+    trace process rows ("TPU" on chip; "CPU" for host-sim traces)."""
     paths = sorted(glob.glob(str(Path(log_dir) / "plugins/profile/*/*.trace.json.gz")))
     assert paths, f"no trace files under {log_dir}"
     with gzip.open(paths[-1]) as f:
@@ -42,7 +43,7 @@ def summarize_trace(log_dir: str, top: int = 25) -> list[tuple[str, float, int]]
     }
     agg, cnt = collections.Counter(), collections.Counter()
     for e in events:
-        if e.get("ph") == "X" and "dur" in e and "TPU" in str(proc.get(e.get("pid"), "")):
+        if e.get("ph") == "X" and "dur" in e and device in str(proc.get(e.get("pid"), "")):
             agg[e["name"]] += e["dur"]
             cnt[e["name"]] += 1
     rows = [(name, dur / 1e3, cnt[name]) for name, dur in agg.most_common(top)]
