@@ -154,3 +154,25 @@ def test_dice_loss_edge_cases():
     target = np.array([0, 0, 1, 1])
     logits = np.eye(3)[[0, 0, 1, 1]] * 10.0
     assert abs(float(dice_loss(jnp.array(logits), jnp.array(target), 3))) < 1e-6
+
+
+def test_loss_full_covers_all_patches():
+    """--loss_full True computes the reconstruction losses over every patch
+    (mask forced to all-ones), i.e. it equals the masked loss with mask=1."""
+    import jax.numpy as jnp
+
+    from mmearth_tpu.losses.multipretext import multipretext_loss
+
+    rng = np.random.default_rng(0)
+    n, img, p, c = 2, 16, 8, 3
+    L = (img // p) ** 2
+    preds = {"sentinel2": jnp.asarray(rng.normal(size=(n, L, p * p * c)).astype(np.float32))}
+    targets = {"sentinel2": jnp.asarray(rng.normal(size=(n, img, img, c)).astype(np.float32))}
+    mask = jnp.asarray((rng.random((n, L)) < 0.6).astype(np.float32))
+
+    kw = dict(patch_size=p, out_chans={"sentinel2": c})
+    full = multipretext_loss(preds, targets, mask, loss_full=True, **kw)
+    ones = multipretext_loss(preds, targets, jnp.ones_like(mask), **kw)
+    masked = multipretext_loss(preds, targets, mask, **kw)
+    assert float(full["sentinel2"]) == float(ones["sentinel2"])
+    assert float(full["sentinel2"]) != float(masked["sentinel2"])
