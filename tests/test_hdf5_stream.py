@@ -85,10 +85,10 @@ def test_prefetch_worker_error_propagates(h5dir):
         def __init__(self):  # share the open file/state
             self.__dict__.update(ds.__dict__)
 
-        def __getitem__(self, idx):
-            if idx >= 8:
+        def get_rows(self, positions):
+            if np.asarray(positions).max() >= 8:
                 raise RuntimeError("corrupt chunk")
-            return super().__getitem__(idx)
+            return super().get_rows(positions)
 
     loader = HDF5StreamLoader(Boom(), batch_size=4, shuffle=False, prefetch=2)
     with pytest.raises(RuntimeError, match="corrupt chunk"):
@@ -112,3 +112,21 @@ def test_abandoned_iterator_reclaims_thread(h5dir):
     while threading.active_count() > base and time.time() < deadline:
         time.sleep(0.1)
     assert threading.active_count() <= base
+
+
+def test_get_rows_bit_identical_to_per_sample(h5dir):
+    """The batched HDF5 read path must equal stacked per-sample reads exactly
+    (incl. the per-tile l1c/l2a sentinel2 stats and the un-sorting)."""
+    ds = MMEarthDataset(h5dir, _mods(), split="train")
+    rng = np.random.default_rng(0)
+    positions = rng.permutation(len(ds))[:9]  # shuffled, not pre-sorted
+    batch = ds.get_rows(positions)
+    for i, pos in enumerate(positions):
+        ref = ds[int(pos)]
+        assert batch["id"][i] == ref["id"]
+        for k, v in ref.items():
+            if k == "id":
+                continue
+            assert batch[k].dtype == v.dtype, k
+            np.testing.assert_array_equal(
+                batch[k][i], v, err_msg=f"{k} @ position {pos}")
