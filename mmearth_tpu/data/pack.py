@@ -49,13 +49,27 @@ def pack_split(
         )
 
     ids = []
-    for row, idx in enumerate(idxs):
-        item = dataset[idx]
-        ids.append(item.pop("id"))
-        for name, arr in item.items():
-            writers[name][row] = arr
-        if log_every and row and row % log_every == 0:
-            print(f"packed {row}/{n}")
+    if hasattr(dataset, "get_rows"):
+        # batched fancy-index reads + vectorized transforms (~3x, see
+        # MMEarthDataset.get_rows)
+        chunk = 256
+        idxs = np.asarray(list(idxs))
+        for start in range(0, n, chunk):
+            pos = idxs[start : start + chunk]
+            batch = dataset.get_rows(pos)
+            ids.extend(batch.pop("id"))
+            for name, arr in batch.items():
+                writers[name][start : start + len(pos)] = arr
+            if log_every and start and start % log_every < chunk:
+                print(f"packed {start}/{n}")
+    else:
+        for row, idx in enumerate(idxs):
+            item = dataset[idx]
+            ids.append(item.pop("id"))
+            for name, arr in item.items():
+                writers[name][row] = arr
+            if log_every and row and row % log_every == 0:
+                print(f"packed {row}/{n}")
     for w in writers.values():
         w.flush()
 

@@ -44,6 +44,13 @@ def test_pack_and_loader(synth_dir, tmp_path):
     pd = PackedDataset(packed)
     assert pd.count == len(ds)
     assert pd.arrays["dynamic_world"].dtype == np.int32
+    # packed rows == dataset items (guards the batched get_rows pack path)
+    for i in (0, len(ds) // 2, len(ds) - 1):
+        item = ds[i]
+        for k in ("sentinel2", "dynamic_world", "biome", "era5"):
+            np.testing.assert_array_equal(
+                np.asarray(pd.arrays[k][i], dtype=np.float64),
+                np.asarray(item[k], dtype=np.float64), err_msg=f"{k}[{i}]")
 
     loader = PackedLoader(pd, batch_size=4, shuffle=True, drop_last=True, seed=0)
     batches = list(loader)
