@@ -78,13 +78,25 @@ def pack_arrayrecord(
     n = len(idxs)
     assert n > 0, "cannot pack an empty split"
 
+    def iter_items():
+        if hasattr(dataset, "get_rows"):  # batched reads (see MMEarthDataset)
+            arr = np.asarray(idxs)
+            for start in range(0, n, 256):
+                batch = dataset.get_rows(arr[start : start + 256])
+                batch_ids = batch.pop("id")
+                for i, sid in enumerate(batch_ids):
+                    yield str(sid), {k: v[i] for k, v in batch.items()}
+        else:
+            for idx in idxs:
+                item = dict(dataset[idx])
+                yield str(item.pop("id", idx)), item
+
     ids: list = []
     shard_paths: list[str] = []
     writer = None
     fields: dict | None = None
-    for row, idx in enumerate(idxs):
-        item = dict(dataset[idx])
-        ids.append(str(item.pop("id", idx)))
+    for row, (sample_id, item) in enumerate(iter_items()):
+        ids.append(sample_id)
         item = {
             k: (v.astype(np.int32) if getattr(v, "dtype", None) == np.int64 else np.asarray(v))
             for k, v in item.items()
