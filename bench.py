@@ -230,7 +230,7 @@ def bench_pretrain(config: str):
 
 def _attach_input_path_record(out: dict):
     """Attach the most recent measured input-path numbers (bench.py --input
-    {mmpack,grain} writes INPUT_BENCH.json) so the headline line carries both
+    {mmpack,grain,hdf5} writes INPUT_BENCH.json) so the headline line carries both
     the synthetic-input and real-input-path throughputs."""
     try:
         rec = json.loads((Path(__file__).parent / "INPUT_BENCH.json").read_text())

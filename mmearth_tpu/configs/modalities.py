@@ -154,3 +154,12 @@ def out_channels(out_modalities: Mapping[str, Sequence[str] | str]) -> dict[str,
         else:
             chans[name] = len(bands)
     return chans
+
+
+def modality_preset(name: str) -> dict:
+    """Named modality configurations for the packing CLIs."""
+    return {
+        "default": {**INP_MODALITIES, **OUT_MODALITIES},
+        "rgb": RGB_MODALITIES,
+        "inp_only": INP_MODALITIES,
+    }[name]

@@ -314,15 +314,15 @@ def main():
     ap.add_argument("--modalities", choices=["default", "rgb", "inp_only"], default="default")
     ap.add_argument("--shard_size", type=int, default=4096)
     args = ap.parse_args()
-    mods = {
-        "default": {**M.INP_MODALITIES, **M.OUT_MODALITIES},
-        "rgb": M.RGB_MODALITIES,
-        "inp_only": M.INP_MODALITIES,
-    }[args.modalities]
-    from pathlib import Path
+    mods = M.modality_preset(args.modalities)
 
     for split in args.splits:
         ds = MMEarthDataset(args.data_dir, mods, split=split)
+        if len(ds) == 0:
+            # empty non-train splits are skipped, like pack_mmearth
+            assert split != "train", "training dataset has no samples"
+            print(f"split {split!r} is empty; skipping")
+            continue
         dest = Path(args.out) / f"{split}_arrayrecord"
         print(f"packing split {split!r} ({len(ds)} samples) -> {dest}")
         pack_arrayrecord(ds, dest, shard_size=args.shard_size)

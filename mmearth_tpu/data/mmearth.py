@@ -81,53 +81,13 @@ class MMEarthDataset:
         return self._h5
 
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
-        f = self._file()
-        row = self.indices[idx]
-        name = f["metadata"][row][0].decode("utf-8")
-        l2a = self.tile_info[name]["S2_type"] == "l2a"
-
-        out: dict[str, np.ndarray] = {}
-        for modality in self.modalities:
-            sel = self.band_idx[modality]
-            if modality in ("biome", "eco_region"):
-                data = np.array(f[modality][row, ...], dtype=np.float64)
-            else:
-                data = np.array(f[modality][row, sel, ...], dtype=np.float64)
-
-            no_data = M.NO_DATA_VAL[modality]
-            if modality == "dynamic_world":
-                data = np.where(data == no_data, np.nan, data)
-                data = np.where((data >= 1) & (data <= 9), data - 1.0, data)  # 1..9 -> 0..8
-                data = np.where(data > 8, np.nan, data)
-            elif modality == "esa_worldcover":
-                data = np.where(data == no_data, np.nan, data)
-                # 10,20,...,90 -> 0..8; 95 -> 9; 100 -> 10
-                remapped = np.where(data == 95, 9.0, np.where(data == 100, 10.0, data / 10.0 - 1.0))
-                data = np.where(np.isin(data, [10, 20, 30, 40, 50, 60, 70, 80, 90, 95, 100]), remapped, data)
-                data = np.where(data > 10, np.nan, data)
-            else:
-                data = np.where(data == no_data, np.nan, data)
-
-            stats_key = ("sentinel2_l2a" if l2a else "sentinel2_l1c") if modality == "sentinel2" else modality
-            if modality not in ("biome", "eco_region", "dynamic_world", "esa_worldcover"):
-                means = np.array(self.band_stats[stats_key]["mean"])[sel]
-                stds = np.array(self.band_stats[stats_key]["std"])[sel]
-                if modality in ("era5", "lat", "lon", "month"):
-                    data = (data - means) / stds
-                else:
-                    data = (data - means[:, None, None]) / stds[:, None, None]
-
-            if M.MODALITY_TASK[modality] in ("classification", "segmentation"):
-                data = np.where(np.isnan(data), -1, data).astype(np.int64)
-            else:
-                data = data.astype(np.float32)
-
-            if self.channels_last and data.ndim == 3:
-                data = np.ascontiguousarray(data.transpose(1, 2, 0))
-            out[modality] = data
-
-        out["id"] = name
-        return out
+        # single source of truth: the batched pipeline with one position
+        # (transform parity vs the reference is asserted through this path,
+        # tests/test_pretrain_e2e.py::test_dataset_transform_parity)
+        out = self.get_rows(np.array([idx]))
+        item = {k: v[0] for k, v in out.items() if k != "id"}
+        item["id"] = out["id"][0]
+        return item
 
     def get_rows(self, positions: np.ndarray) -> dict[str, np.ndarray]:
         """Batched ``__getitem__``: one HDF5 read per modality for the whole
@@ -139,9 +99,9 @@ class MMEarthDataset:
         positions = np.asarray(positions)
         f = self._file()
         rows = np.asarray(self.indices)[positions]
-        order = np.argsort(rows)  # h5py fancy indexing wants increasing rows
-        unsort = np.argsort(order)
-        rows_sorted = rows[order]
+        # h5py fancy indexing wants increasing *unique* rows; `inverse` maps
+        # each requested position back to its row in the deduped sorted read
+        rows_sorted, inverse = np.unique(rows, return_inverse=True)
 
         meta = f["metadata"][rows_sorted]
         names = [m[0].decode("utf-8") for m in meta]
@@ -192,9 +152,9 @@ class MMEarthDataset:
 
             if self.channels_last and data.ndim == 4:
                 data = np.ascontiguousarray(data.transpose(0, 2, 3, 1))
-            out[modality] = data[unsort]
+            out[modality] = data[inverse]
 
-        out["id"] = [names[i] for i in unsort]
+        out["id"] = [names[i] for i in inverse]
         return out
 
 

@@ -54,14 +54,17 @@ def pack_split(
         # MMEarthDataset.get_rows)
         chunk = 256
         idxs = np.asarray(list(idxs))
+        logged = 0
         for start in range(0, n, chunk):
             pos = idxs[start : start + chunk]
             batch = dataset.get_rows(pos)
             ids.extend(batch.pop("id"))
             for name, arr in batch.items():
                 writers[name][start : start + len(pos)] = arr
-            if log_every and start and start % log_every < chunk:
-                print(f"packed {start}/{n}")
+            written = start + len(pos)
+            if log_every and written // log_every > logged:
+                logged = written // log_every
+                print(f"packed {written}/{n}")
     else:
         for row, idx in enumerate(idxs):
             item = dataset[idx]
@@ -113,12 +116,8 @@ def main():
     ap.add_argument("--splits", nargs="+", default=["train"])
     ap.add_argument("--modalities", choices=["default", "rgb", "inp_only"], default="default")
     args = ap.parse_args()
-    mods = {
-        "default": {**M.INP_MODALITIES, **M.OUT_MODALITIES},
-        "rgb": M.RGB_MODALITIES,
-        "inp_only": M.INP_MODALITIES,
-    }[args.modalities]
-    pack_mmearth(args.data_dir, args.out, mods, splits=args.splits)
+    pack_mmearth(args.data_dir, args.out, M.modality_preset(args.modalities),
+                 splits=args.splits)
 
 
 if __name__ == "__main__":

@@ -130,3 +130,16 @@ def test_get_rows_bit_identical_to_per_sample(h5dir):
             assert batch[k].dtype == v.dtype, k
             np.testing.assert_array_equal(
                 batch[k][i], v, err_msg=f"{k} @ position {pos}")
+
+
+def test_get_rows_accepts_duplicate_positions(h5dir):
+    """Repeated indices (class oversampling) must work like per-sample reads
+    (h5py fancy indexing alone would reject duplicates)."""
+    ds = MMEarthDataset(h5dir, _mods(), split="train")
+    batch = ds.get_rows(np.array([3, 3, 5, 0, 3]))
+    assert batch["id"][0] == batch["id"][1] == batch["id"][4]
+    np.testing.assert_array_equal(batch["sentinel2"][0], batch["sentinel2"][1])
+    np.testing.assert_array_equal(
+        batch["sentinel2"][2],
+        ds[5]["sentinel2"],
+    )
