@@ -80,7 +80,7 @@ def get_args_parser():
     p.add_argument("--run_on_test", type=str2bool, default=True)
 
     p.add_argument("--wandb", type=str2bool, default=False)
-    p.add_argument("--wandb_project", type=str, default="global-lr")
+    p.add_argument("--wandb_project", type=str, default="mmearth-v001-ft")  # reference main_finetune.py:387
     p.add_argument("--wandb_run_name", type=str, default=None)
 
     # model EMA (reference main_finetune.py:96-101)
@@ -121,6 +121,8 @@ def get_args_parser():
     p.add_argument("--mixup_prob", default=1.0, type=float)
     p.add_argument("--mixup_switch_prob", default=0.5, type=float)
     p.add_argument("--mixup_mode", default="batch")
+    # no-op in the reference too: its test-scores writer is commented out
+    # (main_finetune.py:774-781); per-epoch stats go to log.txt instead
     p.add_argument("--test_scores_dir", default=None)
     return p
 

@@ -14,6 +14,7 @@ old groups' Adam moments.  Moments re-warm within a few steps.
 """
 from __future__ import annotations
 
+import json
 import time
 from pathlib import Path
 
@@ -32,7 +33,7 @@ from ..models import convnextv2 as cnx
 from ..models import unet as unet_lib
 from ..parallel import mesh as mesh_lib
 from ..utils.compile_cache import enable_compilation_cache
-from ..utils.logging import MetricLogger
+from ..utils.logging import MetricLogger, TensorboardWriter, maybe_wandb
 from . import optim as optim_lib
 from .schedule import warmup_cosine
 from .step import TrainState
@@ -252,6 +253,30 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
     stats_fn = batch_stats_fn(cfg.data_set, nb_classes)
     metric_name, metric = metric_for(cfg.data_set, nb_classes)
 
+    # experiment logging (reference main_finetune.py:680-704,796-804: wandb
+    # per-epoch log_stats + log.txt JSON lines in output_dir; log_writer is
+    # always None there — our --log_dir TensorBoard channel is a superset).
+    # --test_scores_dir stays a documented no-op: the reference's writer is
+    # commented out (main_finetune.py:774-781).
+    n_parameters = sum(
+        leaf.size
+        for leaf, t in zip(
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(optim_lib.zero_grads_mask(params, trainable)),
+        )
+        if t
+    )
+    tb = TensorboardWriter(cfg.run.log_dir) if (cfg.run.log_dir and is_main) else None
+    wandb = (
+        maybe_wandb(cfg.run.wandb, cfg.run.wandb_project, cfg.run.wandb_run_name,
+                    {"data_set": cfg.data_set, "model": cfg.model.model,
+                     "linear_probe": cfg.linear_probe, **vars(cfg.run)})
+        if is_main else None
+    )
+    log_file = Path(cfg.run.output_dir) / "log.txt" if (cfg.run.output_dir and is_main) else None
+    if is_main:
+        print(f"number of params (trainable): {n_parameters}")
+
     bgr_to_rgb = cfg.use_imnet_weights and cfg.geobench_bands_type == "bgr"
     step_fn = jax.jit(make_finetune_step(model, criterion, is_seg, is_resnet, bgr_to_rgb, ema_decay,
                                          update_freq=cfg.optim.update_freq), donate_argnums=(0,))
@@ -308,24 +333,54 @@ def run_finetune(cfg: FinetuneConfig, loaders=None, task=None):
         history.append({"epoch": epoch, **stats, f"val_{metric_name}": val_score})
         if is_main:
             print(f"epoch {epoch}  loss {stats.get('loss', float('nan')):.4f}  val {metric_name} {val_score:.4f}")
+        # per-epoch experiment record (reference log_stats keys,
+        # main_finetune.py:680-704): train_* meters + test_<metric> (the
+        # reference calls its val pass "test_stats") + epoch + n_parameters
+        log_stats = {
+            **{f"train_{k}": v for k, v in stats.items()},
+            "train_lr": float(schedule(int(state.step) // max(cfg.optim.update_freq, 1))),
+            f"test_{metric_name}": val_score,
+            "epoch": epoch,
+            "n_parameters": n_parameters,
+        }
+        if wandb is not None:
+            wandb.log(log_stats)
+        if tb is not None:
+            tb.log(log_stats, epoch + 1)
+            tb.flush()
+        if log_file is not None:
+            with open(log_file, "a", encoding="utf-8") as f:
+                f.write(json.dumps(log_stats) + "\n")
         if val_score >= best_val:
             best_val = val_score
             best_params = jax.tree_util.tree_map(np.asarray, state.params)
         if ckpt is not None:
             ckpt.save(epoch, state)
 
-    test_params = state.ema_params if (cfg.model_ema and cfg.model_ema_eval) else state.params
-    test_score = evaluate(test_params, test_loader, eval_fn, metric, state.model_state) if test_loader is not None else None
-    if is_main:
-        print(f"final test {metric_name}: {test_score}")
-        print(f"best val {metric_name}: {best_val}")
+    # Final test eval reloads the last-epoch checkpoint from DISK, as the
+    # reference does (checkpoint-{epochs-1} reload, main_finetune.py:712-758)
+    # — this also validates the saved artifact end-to-end.  Without an output
+    # dir the in-memory params are scored instead (documented deviation).
     if ckpt is not None:
         ckpt.wait()
+    eval_state = state
+    test_from = "memory"
+    if ckpt is not None and ckpt.latest_epoch() is not None:
+        eval_state, restored_epoch = ckpt.restore(state)
+        test_from = f"disk (epoch {restored_epoch})"
+    test_params = eval_state.ema_params if (cfg.model_ema and cfg.model_ema_eval) else eval_state.params
+    test_score = evaluate(test_params, test_loader, eval_fn, metric, eval_state.model_state) if test_loader is not None else None
+    if is_main:
+        print(f"final test {metric_name}: {test_score}  (params from {test_from})")
+        print(f"best val {metric_name}: {best_val}")
     if cfg.run.output_dir and best_params is not None:
         save_params(Path(cfg.run.output_dir) / "checkpoint-best", best_params)
+    if wandb is not None:
+        wandb.finish()
     return {
         "history": history,
         f"best_val_{metric_name}": best_val,
         f"test_{metric_name}": test_score,
+        "test_params_from": test_from,
         "state": state,
     }

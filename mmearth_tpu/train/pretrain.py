@@ -235,6 +235,12 @@ def run_pretrain(cfg: PretrainConfig):
     for epoch in range(start_epoch, cfg.run.epochs):
         logger = MetricLogger(header=f"Epoch: [{epoch}]")
         pending = None
+        # exact epoch mean: reset the on-device loss accumulator; every step
+        # adds its loss to state.loss_sum (step.py), fetched ONCE at epoch end
+        # — all steps weighted equally, like the reference's per-iteration
+        # meter (engine_pretrain.py:104-113), without per-step syncs
+        state = state.replace(loss_sum=jnp.zeros((), jnp.float32))
+        steps_done = 0
         niter = len(loader)
         if grain_stream:
             # continuous stream: len(loader) batches per "epoch"; the sampler
@@ -252,10 +258,12 @@ def run_pretrain(cfg: PretrainConfig):
                 # single step (tail groups smaller than k come through unstacked)
                 batch = mesh_lib.shard_batch(host_batch, mesh)
                 state, metrics = step_fn(state, batch, rng)
+                steps_done += 1
             else:
                 # stacked (k, B, ...) superbatch: shard B (axis 1) over 'data'
                 batch = mesh_lib.shard_batch(host_batch, mesh, axis=1)
                 state, metrics = chained_fn(state, batch, rng)
+                steps_done += int(host_batch["sentinel2"].shape[0])
             # Materialize metrics only at print boundaries: every device->host
             # fetch costs a full dispatch round trip, so per-step fetches
             # (reference loss.item(), engine_pretrain.py:78) would serialize
@@ -272,6 +280,11 @@ def run_pretrain(cfg: PretrainConfig):
             logger.update(loss=float(pending["loss"]))
 
         stats = logger.averages()
+        if steps_done > 0:
+            # the meter's loss is a print-cadence subsample (kept for live
+            # display + the non-finite window); the logged/reported epoch
+            # loss is the exact all-steps mean from the device accumulator
+            stats["loss"] = float(state.loss_sum) / steps_done
         loss_dict = {k[5:]: float(v) for k, v in pending.items() if k.startswith("loss_")}
         log_vars = np.asarray(pending["log_vars"]).tolist() if "log_vars" in pending else None
         history.append({"epoch": epoch, **stats})

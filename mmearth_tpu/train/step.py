@@ -29,6 +29,13 @@ class TrainState(struct.PyTreeNode):
     model_state: Any = None
     # optional EMA of params (reference --model_ema, main_finetune.py:96-101)
     ema_params: Any = None
+    # on-device running loss sum: the driver fetches metrics only at print
+    # cadence (dispatch latency), but the epoch average must weight EVERY
+    # step like the reference's per-iteration meter (engine_pretrain.py:
+    # 104-113).  The pretrain step adds each step's loss here; the driver
+    # resets it at epoch start and fetches it once at epoch end, giving the
+    # exact mean with zero extra per-step syncs.
+    loss_sum: jax.Array | None = None
 
     def apply_gradients(self, grads, model_state=...):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
@@ -74,6 +81,10 @@ def make_pretrain_step(model: "fcmae_lib.FCMAE", random_crop: bool = True):
             loss_fn, has_aux=True
         )(state.params)
         new_state = state.apply_gradients(grads)
+        if state.loss_sum is not None:
+            new_state = new_state.replace(
+                loss_sum=state.loss_sum + loss.astype(jnp.float32)
+            )
 
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
         metrics.update({f"loss_{k}": v for k, v in loss_dict.items()})
