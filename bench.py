@@ -24,7 +24,10 @@ sparse MinkowskiEngine encoder, per TRAINING.md / slurm_pretrain.sh).  The
 reference repo publishes no throughput number (BASELINE.md), so this anchor is
 an estimate: ~0.55 TFLOP-effective at ~2.3 GFLOP/sample forward+backward with
 sparse-op overheads ≈ 240 samples/sec.  The north-star target is >=3x this per
-v5e chip (BASELINE.json).  ANCHOR.json adds a same-host measured torch anchor.
+v5e chip (BASELINE.json).  ANCHOR.json adds a same-host measured torch anchor,
+and ``vs_baseline_conservative`` divides by a reference-FAVORING upper-bound
+anchor (300x the measured CPU torch rate) so the multiple is bracketed by
+measured quantities rather than resting on the estimate alone.
 """
 from __future__ import annotations
 
@@ -35,6 +38,21 @@ import time
 from pathlib import Path
 
 REFERENCE_GPU_SAMPLES_PER_SEC = 240.0
+
+# Generous upper bound on the reference's single-GPU rate, for a conservative
+# lower bound on the headline multiple: grant the reference's TITAN RTX 300x
+# the measured same-host 1-core CPU torch rate (ANCHOR.json: 3.464 samples/s).
+# 300x CPU->GPU is at the high end even for dense convnets and is generous for
+# a gather/scatter-bound MinkowskiEngine sparse workload, so the true multiple
+# is at least `vs_baseline_conservative`.
+REFERENCE_GPU_SAMPLES_PER_SEC_UPPER_BOUND = 300.0 * 3.464  # = 1039.2
+
+# (model factory, img px, patch px, per-chip batch) per pretrain bench config;
+# scripts/profile_step.py imports this table (ADVICE r3: single source).
+BENCH_CONFIGS = {
+    "atto56": ("convnextv2_atto", 56, 8, 256),
+    "tiny112": ("convnextv2_tiny", 112, 16, 64),
+}
 
 PEAKS = {"v4": 275e12, "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
          "v6 lite": 918e12, "v6e": 918e12}
@@ -101,7 +119,7 @@ def _anchor_block():
 # pretrain benches (synthetic device-resident input)
 # ---------------------------------------------------------------------------
 def _pretrain_setup(img_size: int, patch_size: int, model_name: str,
-                    per_chip_batch: int, **model_kwargs):
+                    per_chip_batch: int, dtype=None, **model_kwargs):
     import jax
     import jax.numpy as jnp
 
@@ -119,7 +137,8 @@ def _pretrain_setup(img_size: int, patch_size: int, model_name: str,
     model = getattr(fcmae, model_name)(
         img_size=img_size, patch_size=patch_size, sparse=True,
         loss_aggr="uncertainty", inp_modalities=M.INP_MODALITIES,
-        out_modalities=M.OUT_MODALITIES, dtype=jnp.bfloat16, **model_kwargs,
+        out_modalities=M.OUT_MODALITIES, dtype=dtype or jnp.bfloat16,
+        **model_kwargs,
     )
     tile = img_size + 8  # crop window headroom (64 for 56, 120 for 112)
     batch_np = _synthetic_batch(batch, tile)
@@ -138,10 +157,7 @@ def bench_pretrain(config: str):
 
     from mmearth_tpu.parallel import mesh as mesh_lib
 
-    name, img, patch, pcb = {
-        "atto56": ("convnextv2_atto", 56, 8, 256),
-        "tiny112": ("convnextv2_tiny", 112, 16, 64),
-    }[config]
+    name, img, patch, pcb = BENCH_CONFIGS[config]
     model, mesh, state, step, batch_np, batch, n_chips = _pretrain_setup(
         img, patch, name, pcb)
     data = mesh_lib.shard_batch(batch_np, mesh)
@@ -194,6 +210,11 @@ def bench_pretrain(config: str):
         "value": round(sps_per_chip, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(sps_per_chip / REFERENCE_GPU_SAMPLES_PER_SEC, 2),
+        # lower bound under a reference-favoring anchor (see constant above):
+        # even granting the reference GPU 300x the measured same-host CPU torch
+        # rate, one v5e chip still delivers this multiple.
+        "vs_baseline_conservative": round(
+            sps_per_chip / REFERENCE_GPU_SAMPLES_PER_SEC_UPPER_BOUND, 2),
         "device_kind": kind,
     }
     if config == "atto56":

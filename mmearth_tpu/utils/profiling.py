@@ -92,7 +92,9 @@ def attribute_trace(log_dir: str, jitted, *args, top: int = 40) -> list[tuple[st
     work.  ``jitted``/``args`` must be the same jitted callable + example args
     that produced the trace (its compiled HLO supplies the metadata).
 
-    Returns [(bucket, total_ms)] sorted by time, and prints them.
+    Returns ALL [(bucket, total_ms)] sorted by time (so callers may sum them
+    for total attributed device time); only the printout is truncated to
+    ``top`` rows.
     """
     import re
 
@@ -131,7 +133,10 @@ def attribute_trace(log_dir: str, jitted, *args, top: int = 40) -> list[tuple[st
         key = _re.sub(r"[\w_]+\.[\w_]+/", "", key)
         key = _re.sub(r"stages_(\d)_\d+", r"stage\1", key)
         buckets[key[:110]] += dur
-    rows = [(k, v / 1e3) for k, v in buckets.most_common(top)]
-    for k, ms in rows:
+    rows = [(k, v / 1e3) for k, v in buckets.most_common(None)]
+    for k, ms in rows[:top]:
         print(f"{ms:9.3f} ms  {k}")
+    if len(rows) > top:
+        rest = sum(ms for _, ms in rows[top:])
+        print(f"{rest:9.3f} ms  <{len(rows) - top} more buckets>")
     return rows

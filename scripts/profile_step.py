@@ -16,12 +16,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
-CONFIGS = {
-    "atto56": ("convnextv2_atto", 56, 8, 256),
-    "tiny112": ("convnextv2_tiny", 112, 16, 64),
-}
-
-
 def main():
     config = sys.argv[1] if len(sys.argv) > 1 else "tiny112"
     log_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/mmearth_trace_{config}"
@@ -30,11 +24,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bench import _pretrain_setup
+    from bench import BENCH_CONFIGS, _pretrain_setup
     from mmearth_tpu.parallel import mesh as mesh_lib
     from mmearth_tpu.utils import profiling
 
-    name, img, patch, pcb = CONFIGS[config]
+    name, img, patch, pcb = BENCH_CONFIGS[config]
     model, mesh, state, step, batch_np, batch, n_chips = _pretrain_setup(
         img, patch, name, pcb)
     data = mesh_lib.shard_batch(batch_np, mesh)
@@ -65,6 +59,8 @@ def main():
     print(f"{config}: {dt*1e3:.2f} ms/step (traced; relay overhead included), "
           f"{batch/dt/n_chips:.1f} samples/s/chip")
 
+    # attribute_trace returns ALL buckets (only the printout is top-limited),
+    # so this total covers every attributed device op, not just the top rows
     rows = profiling.attribute_trace(log_dir, multi_step, state, data, rng, top=top)
     total_ms = sum(ms for _, ms in rows)
     print(f"\ntotal attributed device time: {total_ms:.1f} ms over {K} steps "
