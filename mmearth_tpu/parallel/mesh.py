@@ -82,11 +82,15 @@ def shard_batch(batch: Mapping, mesh: Mesh, axis: int = 0):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), dict(batch))
 
 
-def param_sharding_rules(path_str: str, shape: tuple[int, ...]) -> P:
+def param_sharding_rules(path_str: str, shape: tuple[int, ...],
+                         model_size: int = 2) -> P:
     """Tensor-parallel rules for the 'model' axis: shard the output channels
     of the 4x pointwise expansions and the wide prediction heads; everything
-    else replicated.  With mesh model=1 these are all no-ops."""
-    if shape and shape[-1] % 2 == 0 and any(k in path_str for k in ("pwconv1", "pred_", "proj")):
+    else replicated.  ``model_size`` is the mesh's 'model'-axis extent — a
+    channel count not divisible by it stays replicated (e.g. the 14-way biome
+    head on model=4).  With mesh model=1 these are all no-ops."""
+    if (shape and model_size > 1 and shape[-1] % model_size == 0
+            and any(k in path_str for k in ("pwconv1", "pred_", "proj"))):
         if path_str.endswith("kernel"):
             return P(*([None] * (len(shape) - 1) + ["model"]))
         if path_str.endswith("bias"):
@@ -100,9 +104,11 @@ def shard_params(params, mesh: Mesh):
     if mesh.devices.size == 1:
         return params
 
+    model_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+
     def spec_for(path, leaf):
         path_str = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        return NamedSharding(mesh, param_sharding_rules(path_str, leaf.shape))
+        return NamedSharding(mesh, param_sharding_rules(path_str, leaf.shape, model_size))
 
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: jax.device_put(leaf, spec_for(path, leaf)), params
