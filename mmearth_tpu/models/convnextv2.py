@@ -42,7 +42,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.patch_select import _from_patches, _to_patches
-from .norm import GRN, LayerNorm, MaskedGRN
+from .norm import GRN, LayerNorm, MaskedGRN, _safe_l2
 
 Dtype = Any
 
@@ -126,6 +126,50 @@ def scatter_visible(xg: jax.Array, P: jax.Array, grid: int, h: int) -> jax.Array
     return _from_patches(dense.reshape(n, P.shape[2], pp, c), grid, h)
 
 
+def gather_visible6(x: jax.Array, P: jax.Array, grid: int) -> jax.Array:
+    """gather_visible expressed as ONE dot_general on the free 6-D view
+    (N, grid, p, grid, p, C) with P reshaped to (N, K, grid, grid): the
+    patch-major transpose that :func:`_to_patches` materializes (~2 ms/step
+    at atto/256, trace attribution) becomes part of the contraction's operand
+    layout, in the hope that XLA's transpose-folding absorbs it into the dot.
+
+    MEASURED RESULT (negative; kept as the opt-in ``gather_impl="dot6"`` —
+    the 11th lever measured losing, ROADMAP.md): full-step A/B at atto/256 on
+    v5e (scripts/ab_impl.py "gather=auto" "gather=dot6"): **61.02 vs 47.99
+    ms/step (27% slower)**.  The multi-contracting-dim 6-D dot lowers to a
+    worse internal layout than the explicit transpose + flat selection
+    matmul, which XLA fuses into neighbors.  Bit-exactness vs the onehot
+    path is pinned by tests/test_patch_select.py::test_dot6_selection_bit_exact."""
+    n, h, _, c = x.shape
+    p = h // grid
+    k = P.shape[1]
+    x6 = x.reshape(n, grid, p, grid, p, c)
+    P4 = P.reshape(n, k, grid, grid).astype(x.dtype)
+    out = jax.lax.dot_general(
+        P4, x6,
+        dimension_numbers=(((2, 3), (1, 3)), ((0,), (0,))),
+        precision=_select_precision(x.dtype),
+    )  # (n, k, p, p, c)
+    return out.reshape(n, k, p * p, c)
+
+
+def scatter_visible6(xg: jax.Array, P: jax.Array, grid: int, h: int) -> jax.Array:
+    """scatter_visible via dot_general on the 5-D gathered view; the output
+    arrives as (N, grid, grid, p, p, C) and one transpose interleaves it back
+    to the dense grid (the same movement _from_patches does — the win, if
+    any, is on the gather side; measured as one unit with gather_visible6)."""
+    n, k, pp, c = xg.shape
+    p = h // grid
+    xg5 = xg.reshape(n, k, p, p, c)
+    P4 = P.reshape(n, k, grid, grid).astype(xg.dtype)
+    out = jax.lax.dot_general(
+        P4, xg5,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        precision=_select_precision(xg.dtype),
+    )  # (n, grid, grid, p, p, c)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, h, c)
+
+
 def upsample_mask(mask: jax.Array, grid: int, size: int) -> jax.Array:
     """(N, L) patch mask -> (N, size, size, 1); nearest upsample by repeat
     (reference fcmae.py:233-240)."""
@@ -134,6 +178,86 @@ def upsample_mask(mask: jax.Array, grid: int, size: int) -> jax.Array:
     m = mask.reshape(n, grid, 1, grid, 1, 1)
     m = jnp.broadcast_to(m, (n, grid, scale, grid, scale, 1))
     return m.reshape(n, size, size, 1)
+
+
+def _folded_tail(t, p, grn_group: int, gelu_approx: bool, dtype):
+    """The gathered block tail (LN -> pw1 -> gelu -> GRN -> pw2) with the two
+    normalizations FOLDED into the adjacent matmul kernels — exact algebra,
+    two fewer 4C-wide HBM round-trips per block:
+
+      * LN is a per-row affine after normalization, so
+        ``pw1(LN(t)) = ((t @ W1') - mu * colsum(W1')) * inv_sigma + b1'``
+        with ``W1' = ln_scale[:, None] * W1`` and ``b1' = ln_bias @ W1 + b1``
+        — the normalized activations never materialize; the raw gathered
+        ``t`` feeds the MXU directly and the per-row correction is a fused
+        f32 epilogue.
+      * GRN (given its channel statistics) is a per-channel affine
+        ``y = g * (gamma * nx + 1) + beta``, so
+        ``pw2(GRN(g)) = g @ ((gamma * nx + 1)[:, None] * W2) + (beta @ W2 + b2)``
+        — the GRN output ``h`` never materializes; ``g`` is read once for the
+        statistics and once by the MXU instead of the composed path's
+        read-scale-write-read.
+
+    Per block this removes 2 of the 5 minimum 4C-wide passes (write h, read
+    h) and the C-wide LN-output write+read.  Statistics match MaskedGRN on
+    all-visible rows (grouped by ``grn_group`` over the leading axis, eps
+    1e-6) and LayerNorm (eps 1e-6); everything stats-related stays f32.
+    Kernel scaling costs only O(C * 4C) — shared across every row — which is
+    why this fold is viable here (global/grouped stats) but would LOSE on
+    the decoder's per-sample dense GRN (N distinct scaled kernels).
+
+    MEASURED RESULT (negative; kept as a documented opt-in alternative —
+    the 10th lever measured losing to XLA's lowering of the composed path,
+    ROADMAP.md "Performance"): full-step in-process A/B at atto/256 on v5e
+    (scripts/ab_impl.py auto folded): **62.17 vs 48.12 ms/step (29% slower)**
+    with loss agreement 3.9e-06 (a first variant with f32 matmul outputs was
+    40% slower).  The analytic ~20% HBM-traffic cut does not translate:
+    XLA's schedule of the composed chain (which it can tile, fuse, and
+    overlap per-op) beats the hand-restructured dataflow whose pw2 cannot
+    start until the full f32 statistics reduction and kernel re-scale
+    complete.  Equivalence is pinned by
+    tests/test_block_impl.py::test_folded_block_impl_matches_xla_gathered.
+    """
+    f32 = jnp.float32
+    tf = t.astype(f32)
+    mu = jnp.mean(tf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(tf - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + 1e-6)
+
+    w1 = p["pwconv1"]["kernel"].astype(f32)
+    b1 = p["pwconv1"]["bias"].astype(f32)
+    ln_s = p["norm"]["scale"].astype(f32)
+    ln_b = p["norm"]["bias"].astype(f32)
+    w1p = ln_s[:, None] * w1
+    colsum = jnp.sum(w1p, axis=0)
+    bias1 = ln_b @ w1 + b1
+    # bf16 matmul output (f32 would double the 4C-wide write traffic — a
+    # first attempt with preferred_element_type=f32 measured 40% SLOWER);
+    # the per-row correction upcasts in a fused f32 epilogue.
+    z = jnp.dot(t.astype(dtype), w1p.astype(dtype))
+    u = (z.astype(f32) - mu * colsum) * inv + bias1
+    g = gelu(u, gelu_approx).astype(dtype)
+
+    n = g.shape[0]
+    grp = n if grn_group <= 0 or n % grn_group else min(grn_group, n)
+    n_groups = n // grp
+    c4 = g.shape[-1]
+    gg = g.reshape(n_groups, -1, c4)
+    gx = _safe_l2(jnp.sum(jnp.square(gg.astype(f32)), axis=1))  # (G, 4C)
+    nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+    gamma = p["grn"]["gamma"].astype(f32)
+    beta = p["grn"]["beta"].astype(f32)
+    w2 = p["pwconv2"]["kernel"].astype(f32)
+    b2 = p["pwconv2"]["bias"].astype(f32)
+    a = gamma * nx + 1.0                          # (G, 4C)
+    bias2 = (beta @ w2 + b2).astype(dtype)        # (C,)
+    if n_groups == 1:
+        w2p = (a[0, :, None] * w2).astype(dtype)  # (4C, C)
+        out = jnp.dot(gg[0], w2p) + bias2
+    else:
+        w2p = (a[:, :, None] * w2).astype(dtype)  # (G, 4C, C)
+        out = jnp.einsum("grc,gcd->grd", gg, w2p) + bias2
+    return out.astype(dtype).reshape(t.shape[:-1] + (w2.shape[-1],))
 
 
 class DropPath(nn.Module):
@@ -187,7 +311,9 @@ class Block(nn.Module):
     dw_init: Optional[Any] = None
     pw_init: Optional[Any] = None
     grn_group: int = 0  # MaskedGRN stats scope (0 = global batch)
-    block_impl: str = "auto"  # "auto" | "xla" | "fused" | "spillg"
+    # "auto" | "xla" | "fused" | "spillg" | "remat" | "folded" (all opt-in
+    # alternates measured losing to auto/xla; numbers in their docstrings)
+    block_impl: str = "auto"
     gelu_approx: bool = False  # tanh GELU instead of reference-exact erf
 
     def _fused_active(self, keep, deterministic) -> bool:
@@ -200,6 +326,13 @@ class Block(nn.Module):
         if self.drop_path and not deterministic:
             return False
         return self.block_impl == "fused"
+
+    def _folded_active(self, deterministic) -> bool:
+        """Norm-folded gathered tail (:func:`_folded_tail`): removes two
+        4C-wide HBM passes per block with identical parameters and identical
+        math (up to one bf16 rounding moved from the activations onto the
+        scaled kernels)."""
+        return self.block_impl == "folded"
 
     def _spillg_active(self, deterministic) -> bool:
         """Spill-g fused MLP on the gathered (all-visible) rows
@@ -265,6 +398,9 @@ class Block(nn.Module):
                     p = h // grid
                     xd = psel.scatter_patches(x.reshape(n, k, p, p, c), sel, p, grid, h)
                     t = psel.gather_patches(dwconv(xd), sel, p, grid).reshape(x.shape)
+                elif kind == "dot6":
+                    xd = scatter_visible6(x, sel, grid, h)
+                    t = gather_visible6(dwconv(xd), sel, grid)
                 else:
                     xd = scatter_visible(x, sel, grid, h)
                     t = gather_visible(dwconv(xd), sel, grid)
@@ -290,9 +426,26 @@ class Block(nn.Module):
                 xd = psel.scatter_patches(
                     x.reshape(n, k, p, p, c), sel, p, grid, h)
                 t = psel.gather_patches(dwconv(xd), sel, p, grid).reshape(x.shape)
+            elif kind == "dot6":
+                xd = scatter_visible6(x, sel, grid, h)
+                t = gather_visible6(dwconv(xd), sel, grid)
             else:
                 xd = scatter_visible(x, sel, grid, h)
                 t = gather_visible(dwconv(xd), sel, grid)
+            if self._folded_active(deterministic):
+                # Materialize the identical param set via dummy calls (dead-
+                # code eliminated; only the variables persist), then compute
+                # the tail with the norms folded into the matmul kernels.
+                # (full batch axis so MaskedGRN's group-divisibility check
+                # sees the real batch and stays silent)
+                d = t[:, :1, :1, :]
+                d4 = pw1(norm(d))
+                masked_grn(d4, jnp.ones(d.shape[:-1] + (1,), t.dtype))
+                pw2(d4)
+                out = _folded_tail(t, self.variables["params"], self.grn_group,
+                                   self.gelu_approx, self.dtype)
+                out = DropPath(self.drop_path, name="drop_path")(out, deterministic)
+                return inp + out
             if self._spillg_active(deterministic):
                 # Create the identical param set via dummy calls (dead-code
                 # eliminated; only the variables persist), then hand the raw
@@ -386,10 +539,13 @@ class ConvNeXtV2(nn.Module):
     sparse_impl: str = "gathered"
     # gathered-path selection implementation: "onehot" = 0/1 selection
     # matmuls; "pallas" = DMA patch-copy kernels (ops/patch_select.py; jnp
-    # fallback off-TPU).  Bit-identical outputs.  "auto" resolves to onehot:
-    # measured at atto/256 on v5e the pallas copies lose (64.8 vs 48.0
-    # ms/step) — per-patch sub-tile copies can't amortize their per-grid-step
-    # overhead, while XLA fuses the selection matmuls into neighbors.
+    # fallback off-TPU); "dot6" = the same one-hot selection as a single
+    # dot_general over the free 6-D view, absorbing the patch-major
+    # transpose into the contraction (gather_visible6).  Bit-identical
+    # outputs.  "auto" resolves to onehot: measured at atto/256 on v5e the
+    # pallas copies lose (64.8 vs 48.0 ms/step) — per-patch sub-tile copies
+    # can't amortize their per-grid-step overhead, while XLA fuses the
+    # selection matmuls into neighbors.
     gather_impl: str = "auto"
     # run the stem's site-local tail (LN/GELU/depthwise stem/LN) on the
     # gathered visible rows instead of the dense grid.  Equivalent math
@@ -522,7 +678,7 @@ class ConvNeXtV2(nn.Module):
         (tests/test_gathered_encoder.py).  Returns the dense stage-4 map with
         zeros at masked sites."""
         grid = self.img_size // self.patch_size
-        impl = "pallas" if self.gather_impl == "pallas" else "onehot"
+        impl = self.gather_impl if self.gather_impl in ("pallas", "dot6") else "onehot"
         if impl == "pallas":
             from ..ops import patch_select as psel
 
@@ -537,6 +693,8 @@ class ConvNeXtV2(nn.Module):
             if impl == "pallas":
                 xg = psel.gather_patches(xd, kept_ids, p, grid)
                 return xg.reshape(xg.shape[0], xg.shape[1], p * p, xd.shape[-1])
+            if impl == "dot6":
+                return gather_visible6(xd, P, grid)
             return gather_visible(xd, P, grid)
 
         # ---- stem: dense (default) or on visible rows (reference _stem
@@ -582,6 +740,8 @@ class ConvNeXtV2(nn.Module):
         p = h // grid
         if impl == "pallas":
             return psel.scatter_patches(xg.reshape(n, k, p, p, c), kept_ids, p, grid, h)
+        if impl == "dot6":
+            return scatter_visible6(xg, P, grid, h)
         return scatter_visible(xg, P, grid, h)
 
     # ------------------------------------------------------------------

@@ -33,8 +33,12 @@ def time_impl(impl: str, config: str):
     from mmearth_tpu.parallel import mesh as mesh_lib
 
     name, img, patch, pcb = CONFIGS[config]
+    # "gather=<impl>" selects the gathered-path selection implementation
+    # (ConvNeXtV2.gather_impl) instead of the block tail implementation
+    kw = ({"gather_impl": impl.split("=", 1)[1]} if impl.startswith("gather=")
+          else {"block_impl": impl})
     model, mesh, state, step, batch_np, batch, n_chips = _pretrain_setup(
-        img, patch, name, pcb, block_impl=impl)
+        img, patch, name, pcb, **kw)
     data = mesh_lib.shard_batch(batch_np, mesh)
     rng = jax.random.PRNGKey(0)
     K = 30

@@ -158,3 +158,45 @@ def test_remat_block_impl_matches_xla_all_modes():
     check(Block(C, sparse=False, block_impl="xla"),
           Block(C, sparse=False, block_impl="remat"),
           (x,), (x,))
+
+
+def test_folded_block_impl_matches_xla_gathered():
+    """block_impl="folded" (LN folded into the pw1 kernel, GRN affine folded
+    into the pw2 kernel — models/convnextv2.py::_folded_tail) must match the
+    composed XLA gathered path: identical param tree, forward, and gradients,
+    for both global and grouped GRN statistics."""
+    from mmearth_tpu.models.convnextv2 import visible_onehot
+
+    rng = np.random.default_rng(3)
+    N, C = 4, 16
+    grid, p, K = 4, 2, 6
+    h = grid * p
+    mask = np.ones((N, grid * grid), np.float32)
+    for i in range(N):
+        mask[i, rng.permutation(grid * grid)[:K]] = 0.0
+    P = visible_onehot(jnp.asarray(mask), K, jnp.float32)
+    xg = jnp.asarray(rng.normal(size=(N, K, p * p, C)).astype(np.float32))
+    ctx = (("onehot", P), grid, h)
+
+    for group in (0, 2):
+        bx = Block(C, sparse=True, block_impl="xla", grn_group=group)
+        bf = Block(C, sparse=True, block_impl="folded", grn_group=group)
+        params = bx.init(jax.random.PRNGKey(0), xg, None, True, ctx)["params"]
+        params["grn"]["gamma"] = jnp.asarray(rng.normal(size=(4 * C,)).astype(np.float32))
+        params["grn"]["beta"] = jnp.asarray(rng.normal(size=(4 * C,)).astype(np.float32))
+        shapes = lambda pr: jax.tree_util.tree_map(lambda a: tuple(a.shape), pr)
+        assert shapes(bf.init(jax.random.PRNGKey(0), xg, None, True, ctx)["params"]) == shapes(params)
+
+        yx = bx.apply({"params": params}, xg, None, True, ctx)
+        yf = bf.apply({"params": params}, xg, None, True, ctx)
+        np.testing.assert_allclose(np.asarray(yx), np.asarray(yf), rtol=1e-4, atol=1e-5)
+
+        gx = jax.grad(lambda pr: (bx.apply({"params": pr}, xg, None, True, ctx) ** 2).sum())(params)
+        gf = jax.grad(lambda pr: (bf.apply({"params": pr}, xg, None, True, ctx) ** 2).sum())(params)
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gx), jax.tree_util.tree_leaves_with_path(gf)
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1.0)
+            np.testing.assert_allclose(a / scale, b / scale, atol=1e-5,
+                                       err_msg=f"group={group} {jax.tree_util.keystr(path)}")

@@ -92,3 +92,30 @@ def test_model_gather_impl_equivalence():
     y1 = m1.apply({"params": params}, x, mask=mask, method=lambda m, x, mask: m.encode(x, mask, num_visible=K))
     y2 = m2.apply({"params": params}, x, mask=mask, method=lambda m, x, mask: m.encode(x, mask, num_visible=K))
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+def test_dot6_selection_bit_exact():
+    """gather_impl="dot6" (gather_visible6/scatter_visible6: one dot_general
+    over the free 6-D view, transpose absorbed into the contraction) must be
+    bit-exact vs the onehot selection matmuls at the flagship geometry."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mmearth_tpu.models.convnextv2 import (
+        gather_visible, gather_visible6, scatter_visible, scatter_visible6,
+        visible_onehot)
+
+    rng = np.random.default_rng(2)
+    N, grid, p, C, K = 3, 7, 8, 12, 19
+    h = grid * p
+    mask = np.ones((N, grid * grid), np.float32)
+    for i in range(N):
+        mask[i, rng.permutation(grid * grid)[:K]] = 0.0
+    P = visible_onehot(jnp.asarray(mask), K, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(N, h, h, C)).astype(np.float32))
+    g1 = gather_visible(x, P, grid)
+    g2 = gather_visible6(x, P, grid)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    s1 = scatter_visible(g1, P, grid, h)
+    s2 = scatter_visible6(g1, P, grid, h)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))

@@ -103,10 +103,26 @@ def _compare_final_params(sd_j, sd_t, total_update_scale, context, skip=()):
 # pretrain: FCMAE + uncertainty loss + AdamW(0.9, 0.95) + update_freq 2
 # ---------------------------------------------------------------------------
 def test_pretrain_trajectory_matches_reference_loop():
+    _run_pretrain_trajectory(n_iters=12)
+
+
+@pytest.mark.veryslow
+def test_pretrain_trajectory_100_steps():
+    """Long-horizon trajectory parity (VERDICT r3 item 4): 100 seed-matched
+    optimizer steps.  f32 round-off compounds over the horizon, so the
+    per-step loss tolerance is looser than the 12-step test's; what this
+    proves is that the trajectories *track* — no systematic drift from
+    optimizer/schedule/loss semantics — over a horizon where any wrong
+    constant (wd mask, beta, schedule step) would visibly diverge."""
+    _run_pretrain_trajectory(n_iters=100, rtol=1e-2, update_scale_mult=60)
+
+
+def _run_pretrain_trajectory(n_iters: int, rtol: float = 2e-3,
+                             update_scale_mult: float = 6):
     ref = load_reference()
     helpers = load_reference_helpers()
 
-    n, n_iters, uf = 2, 12, 2
+    n, uf = 2, 2
     niter_per_ep = n_iters  # one "epoch" worth of iterations
     updates_per_epoch = niter_per_ep // uf
     sched_args = Namespace(lr=1e-3, min_lr=1e-5, warmup_epochs=1, epochs=2)
@@ -173,7 +189,7 @@ def test_pretrain_trajectory_matches_reference_loop():
         state, loss = step(state, jbatch, jnp.asarray(masks[i]))
         j_losses.append(float(loss))
 
-    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-3, err_msg=(
+    np.testing.assert_allclose(j_losses, t_losses, rtol=rtol, err_msg=(
         f"per-step losses diverged:\n ours  {j_losses}\n torch {t_losses}"
     ))
 
@@ -181,15 +197,16 @@ def test_pretrain_trajectory_matches_reference_loop():
         jax.tree_util.tree_map(np.asarray, state.params), DEPTHS,
         M.OUT_MODALITIES, dims=DIMS,
     )
-    # ~6 updates at lr <= 1e-3: anchor tolerance at 5% of the aggregate
+    # n_updates at lr <= 1e-3: anchor tolerance at 5% of the aggregate
     # adam-normalized update magnitude.  encoder.head / encoder.norm are the
     # dense classifier's head layers — dead under the FCMAE objective (no
     # gradient on either side; the torch optimizer skips grad-None params,
     # our zero-grad leaves produce exactly-zero adam updates) — and their
     # inits differ (torch random vs converter zero-fill), so they are
     # excluded rather than compared.
-    _compare_final_params(sd_j, tmodel.state_dict(), 6 * sched_args.lr * 0.05,
-                          "pretrain", skip=("encoder.head.", "encoder.norm."))
+    _compare_final_params(
+        sd_j, tmodel.state_dict(), update_scale_mult * sched_args.lr * 0.05,
+        "pretrain", skip=("encoder.head.", "encoder.norm."))
 
 
 # ---------------------------------------------------------------------------
