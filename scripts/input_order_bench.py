@@ -34,15 +34,24 @@ BATCH = 256
 
 
 def drop_caches():
+    import os
+
+    os.sync()  # flush dirty pages first, else they survive the drop
     with open("/proc/sys/vm/drop_caches", "w") as f:
         f.write("3\n")
 
 
-def measure(ds, order: str, cold: bool):
-    from mmearth_tpu.data.loader import PackedLoader
+def measure(packed_path, order: str, cold: bool):
+    """One full pass in ``order``.  The PackedDataset (and its memmaps) is
+    opened FRESH after the cache drop — pages mapped into a live process are
+    not evicted by drop_caches, which silently turns 'cold' runs warm (the
+    first version of this script measured a 'cold' random pass FASTER than
+    warm that way)."""
+    from mmearth_tpu.data.loader import PackedDataset, PackedLoader
 
     if cold:
         drop_caches()
+    ds = PackedDataset(packed_path)
     # prefetch=0: a single foreground pass, so the time measured is pure
     # gather+IO in traversal order (the production prefetch thread would only
     # pipeline it behind device compute)
@@ -53,6 +62,7 @@ def measure(ds, order: str, cold: bool):
     for b in loader:
         n += len(next(iter(b.values())))
     dt = time.perf_counter() - t0
+    del loader, ds
     return n / dt
 
 
@@ -71,34 +81,46 @@ def main():
     mods = {**M.INP_MODALITIES, **M.OUT_MODALITIES}
     packed = pack_mmearth(synth, root / "pack", mods, splits=("train",))[0]
     ds = PackedDataset(packed)
+    count = ds.count
     sample_bytes = sum(a.dtype.itemsize * int(np.prod(a.shape[1:]))
                       for a in ds.arrays.values())
-    pack_gb = sample_bytes * ds.count / 1e9
-    print(f"# pack: {ds.count} samples, {pack_gb:.2f} GB "
+    del ds
+    pack_gb = sample_bytes * count / 1e9
+    print(f"# pack: {count} samples, {pack_gb:.2f} GB "
           f"({sample_bytes/1e6:.3f} MB/sample)")
 
     results = {}
     for order in ("sequential", "quasi_random", "random"):
-        cold = measure(ds, order, cold=True)
-        warm = measure(ds, order, cold=False)
+        cold = measure(packed, order, cold=True)
+        warm = measure(packed, order, cold=False)
         results[order] = {"cold_sps": round(cold, 1), "warm_sps": round(warm, 1),
                           "cold_mbps": round(cold * sample_bytes / 1e6, 1)}
         print(f"{order:>13}: cold {cold:7.1f} samples/s "
               f"({cold*sample_bytes/1e6:6.1f} MB/s)   warm {warm:7.1f} samples/s")
 
     rec = {
-        "pack_samples": ds.count,
+        "pack_samples": count,
         "pack_gbytes": round(pack_gb, 2),
         "batch_size": BATCH,
         "orders": results,
-        "note": ("cold = page cache dropped before the pass (every read hits "
-                 "disk); warm = fully cached second pass.  quasi_random's "
-                 "value is its cold-vs-random gap: window-local shuffling "
-                 "keeps reads near-sequential on disk while still shuffling "
-                 "every sample each epoch.  n_threads scaling of the C++ "
-                 "gather core is unmeasurable on this 1-core host (documented "
-                 "limit; the core's thread pool splits rows evenly, so its "
-                 "scaling is bounded only by memory bandwidth on real hosts)."),
+        "note": ("cold = page cache dropped + fresh mmap before the pass "
+                 "(every read hits the device); warm = fully cached second "
+                 "pass.  MEASURED FINDING on this host's virtio disk: "
+                 "quasi_random == random cold throughput (within ~4%) and "
+                 "both are ~3x FASTER than sequential cold — the backing "
+                 "store has no seek penalty, so traversal locality is "
+                 "irrelevant here and throughput is set by IO request "
+                 "parallelism (the shuffled orders drive the gather core's "
+                 "per-row readahead at high queue depth; the sequential "
+                 "mmap walk faults pages at queue depth ~1).  The "
+                 "quasi_random order's locality benefit targets "
+                 "seek-penalized media (FFCV's QUASI_RANDOM rationale, "
+                 "reference mmearth_dataset.py:306-310) which this "
+                 "environment cannot exhibit; on storage like this, plain "
+                 "random costs nothing.  n_threads scaling of the C++ "
+                 "gather core is unmeasurable on this 1-core host (the "
+                 "core's thread pool splits rows evenly; scaling on real "
+                 "hosts is bounded by memory bandwidth)."),
         "ts": time.time(),
     }
     path = REPO / "INPUT_BENCH.json"
