@@ -24,9 +24,12 @@ test accuracies.
      identical head init (copied), identical batch order / LR / AdamW.
   E. assert per-epoch train losses track and final test accuracies agree.
 
-The synthetic split is classifiable by construction (class-dependent means),
-so both probes reach far-above-chance accuracy and the comparison is
-meaningful.  Writes E2E_ACCURACY.json.
+The synthetic split is classifiable by construction (class-dependent means);
+both heads train on per-dim-standardized frozen-trunk features with a
+cosine-decayed AdamW so they reach full convergence (see make_probe_split's
+docstring for the two probe designs that failed first).  Result on record
+(E2E_ACCURACY.json): test accuracy 1.000 in BOTH frameworks, prediction
+agreement 1.000.
 
 Run (TPU for stage A, CPU for C/D):
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/e2e_accuracy_roundtrip.py
@@ -48,19 +51,28 @@ sys.path.insert(0, str(REPO / "tests"))
 
 DEPTHS, DIMS = (2, 2, 6, 2), (40, 80, 160, 320)
 NUM_CLASSES, IMG, IN_CH = 10, 64, 12
-N_TRAIN, N_TEST, EPOCHS, BATCH = 256, 128, 6, 32
-LR = 1e-3
+N_TRAIN, N_TEST, EPOCHS, BATCH = 256, 128, 150, 32
+LR = 3e-3
 
 
 def make_probe_split(seed=5):
-    """Class-separable synthetic split: x = 0.35 * center[y] + noise."""
+    """Class-separable synthetic split: x = 0.8 * center[y] + noise.
+
+    The first run of this script (0.35 signal, 6 epochs, lr 1e-3 = 48
+    head-only steps) left BOTH probes at chance (12.5%) — under-trained, not
+    divergent (prediction agreement was still 1.0).  The probe now
+    precomputes the frozen trunk's pooled+LN features once per framework
+    (mathematically identical for a frozen deterministic trunk — the
+    reference's linear-probe freezes everything but the head,
+    helpers.py:869-982) so the head can actually be trained to convergence
+    (150 epochs x 8 steps) in seconds."""
     rng = np.random.default_rng(seed)
     centers = rng.normal(size=(NUM_CLASSES, IMG, IMG, IN_CH)).astype(np.float32)
 
     def split(n, s):
         r = np.random.default_rng(s)
         y = r.integers(0, NUM_CLASSES, size=(n,))
-        x = 0.35 * centers[y] + r.normal(size=(n, IMG, IMG, IN_CH)).astype(np.float32)
+        x = 0.8 * centers[y] + r.normal(size=(n, IMG, IMG, IN_CH)).astype(np.float32)
         return x.astype(np.float32), y.astype(np.int64)
 
     return split(N_TRAIN, seed + 1), split(N_TEST, seed + 2)
@@ -141,36 +153,68 @@ def probe_torch(pth_path: Path, train, test, seed=13):
         "weight": tmodel.head.weight.detach().numpy().copy(),
         "bias": tmodel.head.bias.detach().numpy().copy(),
     }
-    opt = torch.optim.AdamW(tmodel.head.parameters(), lr=LR, weight_decay=0.0)
 
+    # frozen deterministic trunk: precompute pooled+LN features once
+    # (identical to forwarding the trunk every step, ~100x faster)
+    tmodel.eval()
     (xtr, ytr), (xte, yte) = train, test
+
+    def feats(x_np):
+        out = []
+        with torch.no_grad():
+            for b in range(0, len(x_np), BATCH):
+                x = torch.from_numpy(x_np[b:b + BATCH].transpose(0, 3, 1, 2))
+                out.append(tmodel.forward_features(x).numpy())
+        return np.concatenate(out)
+
+    ftr, fte = feats(xtr), feats(xte)
+    # per-dim standardization with train stats (each framework from its own
+    # features).  The mini-pretrained trunk's features on this OOD split are
+    # a large shared vector plus a small class delta — separable (the
+    # centroid check below is 1.0) but untrainable raw: the delta-direction
+    # CE gradient drowns in Adam's update noise at any workable lr.
+    mu, sd = ftr.mean(0), ftr.std(0) + 1e-6
+    ftr, fte = (ftr - mu) / sd, (fte - mu) / sd
+    centroids = np.stack([ftr[ytr == c].mean(0) for c in range(NUM_CLASSES)])
+    nc_acc = float((np.argmin(
+        ((fte[:, None] - centroids[None]) ** 2).sum(-1), -1) == yte).mean())
+    print(f"[torch probe] nearest-centroid feature separability: {nc_acc:.4f}")
+
+    head = torch.nn.Linear(ftr.shape[1], NUM_CLASSES)
+    with torch.no_grad():
+        head.weight.copy_(torch.from_numpy(head_init["weight"]))
+        head.bias.copy_(torch.from_numpy(head_init["bias"]))
+    opt = torch.optim.AdamW(head.parameters(), lr=LR, weight_decay=0.0)
+    # LN features have ||f|| ~ sqrt(dim): constant-lr Adam jolts the logits
+    # by ~0.8/step and plateaus at the chance-loss noise floor — decay to 0
+    # (same closed-form cosine on both sides) so the head converges
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=EPOCHS * (N_TRAIN // BATCH))
+
     losses = []
     t0 = time.perf_counter()
     for ep in range(EPOCHS):
         ep_loss = 0.0
         for b in range(0, N_TRAIN, BATCH):
-            x = torch.from_numpy(xtr[b:b + BATCH].transpose(0, 3, 1, 2))
+            f = torch.from_numpy(ftr[b:b + BATCH])
             y = torch.from_numpy(ytr[b:b + BATCH])
-            logits = tmodel(x)
-            loss = F.cross_entropy(logits, y)
+            loss = F.cross_entropy(head(f), y)
             opt.zero_grad()
             loss.backward()
             opt.step()
-            ep_loss += float(loss) * len(y)
+            sched.step()
+            ep_loss += float(loss.detach()) * len(y)
         losses.append(ep_loss / N_TRAIN)
-        print(f"[torch probe] epoch {ep}: loss {losses[-1]:.4f} "
-              f"({time.perf_counter() - t0:.0f}s)")
+        if ep % 25 == 0 or ep == EPOCHS - 1:
+            print(f"[torch probe] epoch {ep}: loss {losses[-1]:.4f} "
+                  f"({time.perf_counter() - t0:.0f}s)")
 
-    tmodel.eval()
-    preds = []
     with torch.no_grad():
-        for b in range(0, N_TEST, BATCH):
-            x = torch.from_numpy(xte[b:b + BATCH].transpose(0, 3, 1, 2))
-            preds.append(tmodel(x).argmax(-1).numpy())
-    preds = np.concatenate(preds)
+        tr_acc = float((head(torch.from_numpy(ftr)).argmax(-1).numpy() == ytr).mean())
+        preds = head(torch.from_numpy(fte)).argmax(-1).numpy()
     acc = float((preds == yte).mean())
-    print(f"[torch probe] test accuracy {acc:.4f}")
-    return losses, acc, preds, head_init
+    print(f"[torch probe] train accuracy {tr_acc:.4f}, test accuracy {acc:.4f}")
+    return losses, acc, preds, head_init, nc_acc
 
 
 def probe_jax(pth_path: Path, train, test, head_init):
@@ -204,13 +248,33 @@ def probe_jax(pth_path: Path, train, test, head_init):
 
     frozen = {k: v for k, v in params.items() if k != "head"}
     head = params["head"]
-    tx = optax.adamw(LR, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0)
+    (xtr, ytr), (xte, yte) = train, test
+
+    # frozen trunk: precompute pooled+LN features once (same as torch side)
+    @jax.jit
+    def trunk(x):
+        return jmodel.apply({"params": {**frozen, "head": head}}, x,
+                            method="forward_features")
+
+    def feats(x_np):
+        return np.concatenate([
+            np.asarray(trunk(jnp.asarray(x_np[b:b + BATCH])))
+            for b in range(0, len(x_np), BATCH)])
+
+    ftr, fte = feats(xtr), feats(xte)
+    mu, sd = ftr.mean(0), ftr.std(0) + 1e-6   # same recipe as the torch side
+    ftr, fte = (ftr - mu) / sd, (fte - mu) / sd
+
+    tx = optax.adamw(
+        optax.cosine_decay_schedule(LR, EPOCHS * (N_TRAIN // BATCH)),
+        b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0)
     opt_state = tx.init(head)
+    ftr_j, ytr_j = jnp.asarray(ftr), jnp.asarray(ytr)
 
     @jax.jit
-    def step(head, opt_state, x, y):
+    def step(head, opt_state, f, y):
         def lf(hp):
-            logits = jmodel.apply({"params": {**frozen, "head": hp}}, x)
+            logits = f @ hp["kernel"] + hp["bias"]
             logp = jax.nn.log_softmax(logits)
             return -jnp.take_along_axis(logp, y[:, None], axis=-1).mean()
 
@@ -218,39 +282,39 @@ def probe_jax(pth_path: Path, train, test, head_init):
         updates, opt_state = tx.update(grads, opt_state, head)
         return optax.apply_updates(head, updates), opt_state, loss
 
-    @jax.jit
-    def predict(head, x):
-        return jmodel.apply({"params": {**frozen, "head": head}}, x).argmax(-1)
-
-    (xtr, ytr), (xte, yte) = train, test
     losses = []
     t0 = time.perf_counter()
     for ep in range(EPOCHS):
         ep_loss = 0.0
         for b in range(0, N_TRAIN, BATCH):
-            x = jnp.asarray(xtr[b:b + BATCH])
-            y = jnp.asarray(ytr[b:b + BATCH])
-            head, opt_state, loss = step(head, opt_state, x, y)
-            ep_loss += float(loss) * len(y)
+            head, opt_state, loss = step(
+                head, opt_state, ftr_j[b:b + BATCH], ytr_j[b:b + BATCH])
+            ep_loss += float(loss) * (min(b + BATCH, N_TRAIN) - b)
         losses.append(ep_loss / N_TRAIN)
-        print(f"[jax probe] epoch {ep}: loss {losses[-1]:.4f} "
-              f"({time.perf_counter() - t0:.0f}s)")
+        if ep % 25 == 0 or ep == EPOCHS - 1:
+            print(f"[jax probe] epoch {ep}: loss {losses[-1]:.4f} "
+                  f"({time.perf_counter() - t0:.0f}s)")
 
-    preds = np.concatenate([
-        np.asarray(predict(head, jnp.asarray(xte[b:b + BATCH])))
-        for b in range(0, N_TEST, BATCH)])
+    preds = np.asarray(
+        jnp.argmax(jnp.asarray(fte) @ head["kernel"] + head["bias"], -1))
     acc = float((preds == yte).mean())
     print(f"[jax probe] test accuracy {acc:.4f}")
     return losses, acc, preds
 
 
 def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    args = [a for a in sys.argv[1:] if a != "--reuse-pth"]
+    steps = int(args[0]) if args else 300
     pth_path = Path("/tmp/e2e_roundtrip.pth")
 
-    final_loss = pretrain_and_export(steps, pth_path)
+    if "--reuse-pth" in sys.argv and pth_path.exists():
+        # stage A is deterministic (fixed seed): reuse this run's artifact
+        print(f"[pretrain] reusing {pth_path}")
+        final_loss = 20.3937  # the deterministic 300-step final loss
+    else:
+        final_loss = pretrain_and_export(steps, pth_path)
     train, test = make_probe_split()
-    t_losses, t_acc, t_preds, head_init = probe_torch(pth_path, train, test)
+    t_losses, t_acc, t_preds, head_init, nc_acc = probe_torch(pth_path, train, test)
     j_losses, j_acc, j_preds = probe_jax(pth_path, train, test, head_init)
 
     agree = float((t_preds == j_preds).mean())
@@ -261,6 +325,7 @@ def main():
                  f"batch {BATCH}, AdamW lr {LR}, head-only",
         "train_losses_torch": [round(x, 4) for x in t_losses],
         "train_losses_jax": [round(x, 4) for x in j_losses],
+        "feature_nearest_centroid_acc": round(nc_acc, 4),
         "test_acc_reference_torch": round(t_acc, 4),
         "test_acc_ours": round(j_acc, 4),
         "acc_delta_pts": round(abs(t_acc - j_acc) * 100, 2),
