@@ -106,6 +106,7 @@ def test_pretrain_trajectory_matches_reference_loop():
     _run_pretrain_trajectory(n_iters=12)
 
 
+@pytest.mark.slow
 @pytest.mark.veryslow
 def test_pretrain_trajectory_100_steps():
     """Long-horizon trajectory parity (VERDICT r3 item 4): 100 seed-matched
