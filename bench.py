@@ -98,6 +98,34 @@ def _require_device(metric: str, timeout_s: float | None = None):
         os._exit(3)
 
 
+def _arm_total_watchdog(metric: str):
+    """Backend init succeeding does not guarantee progress: a degraded relay
+    can accept the connection and then stall the first compile/execute
+    indefinitely (observed 2026-08-19: jax.devices() fine, a 256x256 matmul
+    >200 s).  Emit the honest zero-result JSON instead of hanging the
+    caller.  BENCH_TOTAL_TIMEOUT (seconds, default 2400) overrides; the
+    watchdog is a daemon timer, cancelled implicitly by normal exit."""
+    import os
+    import sys
+    import threading
+
+    total_s = float(os.environ.get("BENCH_TOTAL_TIMEOUT", "2400"))
+
+    def fire():
+        _emit({
+            "metric": metric,
+            "value": 0.0, "unit": "samples/s/chip", "vs_baseline": 0.0,
+            "error": f"no result within {total_s:.0f}s of start (device "
+                     f"compile/execute stalled); no measurement taken",
+        })
+        sys.stdout.flush()
+        os._exit(4)
+
+    t = threading.Timer(total_s, fire)
+    t.daemon = True
+    t.start()
+
+
 def _emit(out: dict):
     print(json.dumps(out))
 
@@ -512,6 +540,7 @@ def main():
         metric = (f"mpmae_atto_mmearth64_pretrain_samples_per_sec_per_chip_"
                   f"{args.input}_input")
     _require_device(metric)
+    _arm_total_watchdog(metric)
     if args.input != "synthetic":
         bench_input_path(args.input)
     elif args.config in ("finetune", "seg"):
