@@ -126,7 +126,31 @@ def _arm_total_watchdog(metric: str):
     t.start()
 
 
+_RELAY_TRIVIAL_S: float | None = None
+
+
+def _probe_relay_health():
+    """Time one trivial dispatch before measuring.  A time-shared relay can
+    degrade to >100 s per dispatch (observed 2026-08-19) while still
+    completing — the resulting throughput number would be garbage with no
+    explanation, so the emitted JSON carries the probe when it is slow."""
+    global _RELAY_TRIVIAL_S
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    x = jnp.ones((128, 128))
+    float((x @ x).sum())
+    _RELAY_TRIVIAL_S = round(time.perf_counter() - t0, 2)
+
+
 def _emit(out: dict):
+    if _RELAY_TRIVIAL_S is not None and _RELAY_TRIVIAL_S > 5.0:
+        out = dict(out)
+        out["relay_trivial_dispatch_s"] = _RELAY_TRIVIAL_S
+        out["warning"] = ("relay degraded: a 128x128 matmul round-trip took "
+                          f"{_RELAY_TRIVIAL_S}s; throughput below reflects the "
+                          "outage, not the framework")
     print(json.dumps(out))
 
 
@@ -541,6 +565,7 @@ def main():
                   f"{args.input}_input")
     _require_device(metric)
     _arm_total_watchdog(metric)
+    _probe_relay_health()
     if args.input != "synthetic":
         bench_input_path(args.input)
     elif args.config in ("finetune", "seg"):
