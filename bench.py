@@ -18,16 +18,16 @@ Other modes (run manually; measured results are recorded in README/ROADMAP):
                       gather + prefetch thread) -> H2D -> chained train steps
   --input grain       same through the Grain/ArrayRecord pipeline
 
-``vs_baseline`` is measured against REFERENCE_GPU_SAMPLES_PER_SEC, an anchor
-for the reference implementation's single-GPU training throughput (TITAN RTX,
-sparse MinkowskiEngine encoder, per TRAINING.md / slurm_pretrain.sh).  The
-reference repo publishes no throughput number (BASELINE.md), so this anchor is
-an estimate: ~0.55 TFLOP-effective at ~2.3 GFLOP/sample forward+backward with
-sparse-op overheads ≈ 240 samples/sec.  The north-star target is >=3x this per
-v5e chip (BASELINE.json).  ANCHOR.json adds a same-host measured torch anchor,
-and ``vs_baseline_conservative`` divides by a reference-FAVORING upper-bound
-anchor (300x the measured CPU torch rate) so the multiple is bracketed by
-measured quantities rather than resting on the estimate alone.
+``vs_baseline`` (the primary multiple) is the MEASURED-BRACKET lower bound:
+per-chip samples/s divided by a reference-FAVORING upper-bound anchor for the
+reference's single-GPU rate (300x the same-host measured CPU torch rate from
+ANCHOR.json / scripts/measure_anchor.py) — every quantity in the ratio is
+measured, and the grant to the reference is generous, so the true multiple is
+AT LEAST this.  ``vs_baseline_estimate_240sps`` is the secondary, softer
+multiple against the analytic ~240 samples/s TITAN-RTX estimate
+(~0.55 TFLOP-effective at ~2.3 GFLOP/sample fwd+bwd with sparse-op overheads);
+the reference repo publishes no throughput number (BASELINE.md).  The
+north-star target is >=3x the reference per v5e chip (BASELINE.json).
 """
 from __future__ import annotations
 
@@ -39,13 +39,21 @@ from pathlib import Path
 
 REFERENCE_GPU_SAMPLES_PER_SEC = 240.0
 
-# Generous upper bound on the reference's single-GPU rate, for a conservative
-# lower bound on the headline multiple: grant the reference's TITAN RTX 300x
-# the measured same-host 1-core CPU torch rate (ANCHOR.json: 3.464 samples/s).
-# 300x CPU->GPU is at the high end even for dense convnets and is generous for
-# a gather/scatter-bound MinkowskiEngine sparse workload, so the true multiple
-# is at least `vs_baseline_conservative`.
-REFERENCE_GPU_SAMPLES_PER_SEC_UPPER_BOUND = 300.0 * 3.464  # = 1039.2
+
+def _reference_gpu_sps_upper_bound() -> float:
+    """Generous upper bound on the reference's single-GPU rate, for a
+    conservative lower bound on the headline multiple: grant the reference's
+    TITAN RTX 300x the *measured* same-host 1-core CPU torch rate recorded in
+    ANCHOR.json (scripts/measure_anchor.py).  300x CPU->GPU is at the high end
+    even for dense convnets and is generous for a gather/scatter-bound
+    MinkowskiEngine sparse workload, so the true multiple is at least
+    ``vs_baseline``.  Loaded at runtime so re-measuring the anchor cannot
+    silently desync this bound from its provenance (ADVICE r4)."""
+    try:
+        measured = json.loads((Path(__file__).parent / "ANCHOR.json").read_text())
+        return 300.0 * float(measured["reference_torch_sps"])
+    except Exception:
+        return 300.0 * 3.464  # last recorded measurement (2026-08, ANCHOR.json)
 
 # (model factory, img px, patch px, per-chip batch) per pretrain bench config;
 # scripts/profile_step.py imports this table (ADVICE r3: single source).
@@ -112,6 +120,10 @@ def _arm_total_watchdog(metric: str):
     total_s = float(os.environ.get("BENCH_TOTAL_TIMEOUT", "2400"))
 
     def fire():
+        if _RESULT_EMITTED:
+            # the real result already printed; a second zero-result line here
+            # would become the last line the driver parses (ADVICE r4)
+            return
         _emit({
             "metric": metric,
             "value": 0.0, "unit": "samples/s/chip", "vs_baseline": 0.0,
@@ -127,24 +139,30 @@ def _arm_total_watchdog(metric: str):
 
 
 _RELAY_TRIVIAL_S: float | None = None
+_RESULT_EMITTED = False
 
 
 def _probe_relay_health():
     """Time one trivial dispatch before measuring.  A time-shared relay can
     degrade to >100 s per dispatch (observed 2026-08-19) while still
     completing — the resulting throughput number would be garbage with no
-    explanation, so the emitted JSON carries the probe when it is slow."""
+    explanation, so the emitted JSON carries the probe when it is slow.
+    The first dispatch warms trace+compile (which legitimately takes seconds
+    even on a healthy relay); only the second, compile-cached dispatch is
+    timed against the degraded threshold (ADVICE r4)."""
     global _RELAY_TRIVIAL_S
     import jax
     import jax.numpy as jnp
 
-    t0 = time.perf_counter()
     x = jnp.ones((128, 128))
+    float((x @ x).sum())  # warm: trace + compile + first execute
+    t0 = time.perf_counter()
     float((x @ x).sum())
     _RELAY_TRIVIAL_S = round(time.perf_counter() - t0, 2)
 
 
 def _emit(out: dict):
+    global _RESULT_EMITTED
     if _RELAY_TRIVIAL_S is not None and _RELAY_TRIVIAL_S > 5.0:
         out = dict(out)
         out["relay_trivial_dispatch_s"] = _RELAY_TRIVIAL_S
@@ -152,6 +170,7 @@ def _emit(out: dict):
                           f"{_RELAY_TRIVIAL_S}s; throughput below reflects the "
                           "outage, not the framework")
     print(json.dumps(out))
+    _RESULT_EMITTED = True
 
 
 def _anchor_block():
@@ -261,12 +280,13 @@ def bench_pretrain(config: str):
         "metric": metric,
         "value": round(sps_per_chip, 1),
         "unit": "samples/s/chip",
-        "vs_baseline": round(sps_per_chip / REFERENCE_GPU_SAMPLES_PER_SEC, 2),
-        # lower bound under a reference-favoring anchor (see constant above):
-        # even granting the reference GPU 300x the measured same-host CPU torch
-        # rate, one v5e chip still delivers this multiple.
-        "vs_baseline_conservative": round(
-            sps_per_chip / REFERENCE_GPU_SAMPLES_PER_SEC_UPPER_BOUND, 2),
+        # PRIMARY multiple = measured-bracket lower bound: even granting the
+        # reference GPU 300x the measured same-host CPU torch rate
+        # (ANCHOR.json), one v5e chip still delivers this multiple.
+        "vs_baseline": round(sps_per_chip / _reference_gpu_sps_upper_bound(), 2),
+        # secondary, labeled: against the soft analytic 240-sps TITAN estimate
+        "vs_baseline_estimate_240sps": round(
+            sps_per_chip / REFERENCE_GPU_SAMPLES_PER_SEC, 2),
         "device_kind": kind,
     }
     if config == "atto56":

@@ -83,7 +83,7 @@ def shard_batch(batch: Mapping, mesh: Mesh, axis: int = 0):
 
 
 def param_sharding_rules(path_str: str, shape: tuple[int, ...],
-                         model_size: int = 2) -> P:
+                         model_size: int) -> P:
     """Tensor-parallel rules for the 'model' axis: shard the output channels
     of the 4x pointwise expansions and the wide prediction heads; everything
     else replicated.  ``model_size`` is the mesh's 'model'-axis extent — a
