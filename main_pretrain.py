@@ -69,10 +69,12 @@ def get_args_parser():
     p.add_argument("--sparse_impl", choices=["gathered", "masked_dense"], default="gathered",
                    help="sparse encoder execution: compute on visible patches "
                         "only (gathered) or the full re-masked grid")
-    p.add_argument("--grn_scope", choices=["global", "per_device"], default="global",
-                   help="MaskedGRN statistic scope: per_device reproduces the "
-                        "reference's per-GPU DDP stats and avoids per-block "
-                        "cross-chip all-reduces")
+    p.add_argument("--grn_scope", choices=["global", "per_device"], default="per_device",
+                   help="MaskedGRN statistic scope: per_device (default) "
+                        "reproduces the reference's per-GPU DDP stats and "
+                        "avoids one cross-chip all-reduce per block per step "
+                        "(tests/test_collective_audit.py); global computes "
+                        "the statistic over the full cross-device batch")
     p.add_argument("--gelu_approx", type=str2bool, default=False,
                    help="tanh-approximate GELU (~1e-3-relative deviation from "
                         "the reference's exact erf GELU; measured NOT a v5e "

@@ -61,8 +61,13 @@ class ModelConfig:
     # MaskedGRN statistic scope during sparse pretraining: "global" computes
     # the L2 over the full (cross-device) batch; "per_device" over each
     # device's batch only — the reference's DDP behavior (each MinkowskiGRN
-    # sees one GPU's batch) and cheaper on a mesh (no per-block all-reduce).
-    grn_scope: str = "global"
+    # sees one GPU's batch, sparse_norm_layers.py:28-33).  Default per_device:
+    # reference-faithful AND collective-free — global costs one all-reduce
+    # per sparse block per step on a multi-chip mesh (measured on the
+    # 8-device sim, tests/test_collective_audit.py: 2 vs 26 all-reduces at
+    # (8,1)); the loss divergence between scopes is 9.7e-5 (PARITY.md).
+    # Identical on a single device.
+    grn_scope: str = "per_device"
     # masked-block implementation: "auto"/"xla" composed ops, "fused" the
     # opt-in Pallas kernel (see models/convnextv2.Block)
     block_impl: str = "auto"
