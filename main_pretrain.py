@@ -63,7 +63,9 @@ def get_args_parser():
                    help="bf16 compute policy (TPU-native replacement for --use_mixed)")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="chain k optimizer steps per device dispatch (hides dispatch latency)")
-    p.add_argument("--block_impl", choices=["auto", "xla", "fused", "spillg", "remat"], default="auto",
+    p.add_argument("--block_impl",
+                   choices=["auto", "xla", "fused", "spillg", "remat",
+                            "folded", "dwg", "wholeblock"], default="auto",
                    help="masked-encoder block implementation ('fused' = opt-in "
                         "Pallas kernel)")
     p.add_argument("--sparse_impl", choices=["gathered", "masked_dense"], default="gathered",

@@ -311,8 +311,10 @@ class Block(nn.Module):
     dw_init: Optional[Any] = None
     pw_init: Optional[Any] = None
     grn_group: int = 0  # MaskedGRN stats scope (0 = global batch)
-    # "auto" | "xla" | "fused" | "spillg" | "remat" | "folded" (all opt-in
-    # alternates measured losing to auto/xla; numbers in their docstrings)
+    # "auto" | "xla" | "fused" | "spillg" | "remat" | "folded" |
+    # "dwg" (fused Pallas scatter->dwconv->gather, ops/wholeblock.py, with
+    # the XLA block tail) | "wholeblock" (Pallas dwconv + the spill-g Pallas
+    # MLP kernels).  Alternates are opt-in; measured numbers in docstrings.
     block_impl: str = "auto"
     gelu_approx: bool = False  # tanh GELU instead of reference-exact erf
 
@@ -336,8 +338,9 @@ class Block(nn.Module):
 
     def _spillg_active(self, deterministic) -> bool:
         """Spill-g fused MLP on the gathered (all-visible) rows
-        (ops/fused_block.py::fused_block_mlp_spillg)."""
-        if self.block_impl != "spillg":
+        (ops/fused_block.py::fused_block_mlp_spillg).  Also the tail of
+        ``block_impl="wholeblock"`` (Pallas dwconv + Pallas MLP)."""
+        if self.block_impl not in ("spillg", "wholeblock"):
             return False
         if self.grn_group:  # kernel implements global-batch GRN stats only
             return False
@@ -418,7 +421,22 @@ class Block(nn.Module):
 
         if gather_ctx is not None:
             (kind, sel), grid, h = gather_ctx
-            if kind == "pallas":
+            if kind == "ids":
+                # fused scatter->dwconv->gather Pallas kernel; ``sel`` is the
+                # (N, K) kept patch ids (ops/wholeblock.py).  The dummy conv
+                # call materializes the identical "dwconv" param set (the
+                # traced op is dead-code-eliminated).
+                from ..ops.wholeblock import dwconv7_gathered
+
+                n, k, pp, c = x.shape
+                p = h // grid
+                dwconv(jnp.zeros((1, 8, 8, c), self.dtype))
+                dwp = self.variables["params"]["dwconv"]
+                t = dwconv7_gathered(
+                    x.reshape(n, k, p, p, c), sel, dwp["kernel"], dwp["bias"],
+                    grid, jax.default_backend() not in ("tpu",),
+                ).reshape(x.shape)
+            elif kind == "pallas":
                 from ..ops import patch_select as psel
 
                 n, k, pp, c = x.shape
@@ -688,6 +706,13 @@ class ConvNeXtV2(nn.Module):
             P = visible_onehot(mask, num_visible,
                                jnp.bfloat16 if self.dtype == jnp.bfloat16 else jnp.float32)
             sel = (impl, P)
+        if self.block_impl in ("dwg", "wholeblock"):
+            # blocks use the fused Pallas scatter->dwconv->gather (kind
+            # "ids"); the stem gather and final scatter keep ``sel``.
+            kept_blk, _ = visible_ids(mask, num_visible)
+            block_sel = ("ids", kept_blk)
+        else:
+            block_sel = sel
 
         def gather(xd, p):
             if impl == "pallas":
@@ -725,7 +750,7 @@ class ConvNeXtV2(nn.Module):
             p0 = p_in // s
             xg = y.reshape(n, k, p0 * p0, self.dims[0])
         for blk in self.stages[0]:
-            xg = blk(xg, deterministic=deterministic, gather_ctx=(sel, grid, h))
+            xg = blk(xg, deterministic=deterministic, gather_ctx=(block_sel, grid, h))
         for i in range(3):
             n, k, pp, c = xg.shape
             p = h // grid
@@ -735,7 +760,7 @@ class ConvNeXtV2(nn.Module):
             p //= 2
             xg = y.reshape(n, k, p * p, y.shape[-1])
             for blk in self.stages[i + 1]:
-                xg = blk(xg, deterministic=deterministic, gather_ctx=(sel, grid, h))
+                xg = blk(xg, deterministic=deterministic, gather_ctx=(block_sel, grid, h))
         n, k, pp, c = xg.shape
         p = h // grid
         if impl == "pallas":
