@@ -421,21 +421,31 @@ class Block(nn.Module):
 
         if gather_ctx is not None:
             (kind, sel), grid, h = gather_ctx
-            if kind == "ids":
-                # fused scatter->dwconv->gather Pallas kernel; ``sel`` is the
-                # (N, K) kept patch ids (ops/wholeblock.py).  The dummy conv
-                # call materializes the identical "dwconv" param set (the
-                # traced op is dead-code-eliminated).
+            if kind == "ids" and (h // grid) >= 8:
+                # fused scatter->dwconv->gather Pallas kernel; ``sel`` is
+                # ((N, K) kept patch ids, onehot P) (ops/wholeblock.py).  The
+                # dummy conv call materializes the identical "dwconv" param
+                # set (the traced op is dead-code-eliminated).  Only stages
+                # with patch side >= 8 qualify: Mosaic requires dynamic
+                # sublane store offsets provably 8-aligned, and the
+                # (grid, p)-split layout that would fix p < 8 stages caps
+                # their sublane utilization at p/8 — measured-worse by
+                # construction, so those stages keep the XLA path below.
                 from ..ops.wholeblock import dwconv7_gathered
 
+                kept_ids, _ = sel
                 n, k, pp, c = x.shape
                 p = h // grid
                 dwconv(jnp.zeros((1, 8, 8, c), self.dtype))
                 dwp = self.variables["params"]["dwconv"]
                 t = dwconv7_gathered(
-                    x.reshape(n, k, p, p, c), sel, dwp["kernel"], dwp["bias"],
-                    grid, jax.default_backend() not in ("tpu",),
+                    x.reshape(n, k, p, p, c), kept_ids, dwp["kernel"],
+                    dwp["bias"], grid, jax.default_backend() not in ("tpu",),
                 ).reshape(x.shape)
+            elif kind == "ids":
+                _, P_fb = sel
+                xd = scatter_visible(x, P_fb, grid, h)
+                t = gather_visible(dwconv(xd), P_fb, grid)
             elif kind == "pallas":
                 from ..ops import patch_select as psel
 
@@ -708,9 +718,14 @@ class ConvNeXtV2(nn.Module):
             sel = (impl, P)
         if self.block_impl in ("dwg", "wholeblock"):
             # blocks use the fused Pallas scatter->dwconv->gather (kind
-            # "ids"); the stem gather and final scatter keep ``sel``.
+            # "ids") where the patch side allows it, with the onehot
+            # selection as the in-kind fallback; the stem gather and final
+            # scatter keep ``sel``.
             kept_blk, _ = visible_ids(mask, num_visible)
-            block_sel = ("ids", kept_blk)
+            P_blk = visible_onehot(
+                mask, num_visible,
+                jnp.bfloat16 if self.dtype == jnp.bfloat16 else jnp.float32)
+            block_sel = ("ids", (kept_blk, P_blk))
         else:
             block_sel = sel
 

@@ -31,6 +31,41 @@ VMEM scratch across the batch grid), and the bias gradient the same way.
 Used by ``Block(block_impl="dwg")`` (Pallas dwconv + XLA block tail) and
 ``Block(block_impl="wholeblock")`` (Pallas dwconv + the spill-g Pallas MLP
 kernels from ops/fused_block.py) — see models/convnextv2.py.
+
+MEASURED RESULT (round 5, full-step in-process A/B at atto/256 on v5e,
+scripts/ab_impl.py, the VERDICT-r4 closure condition): **LOSS 61-62%** —
+77.8-77.9 ms/step vs 48.0-48.3 ms for the XLA path (losses agree to 3.4e-6
+rel), with the kernel active at stage 0 only (p=8, its best geometry —
+Mosaic cannot compile the p<8 stages at all: dynamic vector stores need
+provably-8-aligned sublane offsets, and the (grid, p)-split layout that
+would fix that caps sublane utilization at p/8).  Per-cause attribution
+from kernel-variant microbenchmarks (scatter-only / taps-only / full, each
+timed standalone on the chip at stage-0 geometry n=256, K=19, p=8, C=40):
+
+  1. **Tap-loop codegen (dominant):** the 49-FMA tap loop alone runs at
+     ~0.67 TFLOP/s — ~6x under XLA's fused dwconv on the same shapes
+     (ROADMAP.md: XLA does stage-0 dwconv fwd+bwd in 2.96 ms; this
+     kernel's *forward* alone measured 5.8-6.9 ms).  Mosaic lowers each
+     tap as an explicit vector shift + f32 RMW against the VMEM
+     accumulator; XLA's conv emitter pipelines window reuse natively.
+     Accumulating per-dx in a value (7 RMWs instead of 49) and inlining
+     the shifts both measured *worse*; B=2 image blocks made taps worse
+     (the RMW traffic scales with the scratch, not the grid count).
+  2. **Lane occupancy:** C=40 fills 40/128 lanes (31%) of every vreg in
+     the tap loop; XLA's layout packs the same conv across channels.
+  3. **Per-grid-step overhead:** ~1.2 ms/call at B=1 (256 grid steps of
+     scatter + gather dynamic copies); amortizing with larger B trades
+     directly into (1)'s RMW cost, measured net-negative.
+
+In-model the delta (29.6 ms/step) matches 2 stage-0 blocks x (fwd+bwd)
+of the standalone gap — the loss is the kernel's own runtime, not fusion
+boundaries.  Conclusion recorded in ROADMAP.md: the 48-vs-32.3 ms
+calibrated-HBM-floor residual is owned by XLA's scheduler, not by any
+reachable kernel-level rewrite — this was the 12th and last named lever
+(11 JAX-level alternatives + the compiler-flag sweep, XLA_FLAGS_AB.json,
+all measured null or losing).  The kernel stays in-tree behind
+``--block_impl dwg/wholeblock`` as a working, equivalence-tested negative
+result.
 """
 from __future__ import annotations
 

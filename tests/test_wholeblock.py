@@ -43,11 +43,15 @@ def test_dwconv7_gathered_fwd_and_vjp(n, grid_hw, p, c, k):
         np.testing.assert_allclose(a / scale, r / scale, atol=2e-5, err_msg=name)
 
 
-@pytest.mark.parametrize("impl", ["dwg", "wholeblock"])
-def test_block_impl_matches_xla_gathered(impl):
+@pytest.mark.parametrize("impl,p", [
+    ("dwg", 8),          # Pallas kernel path (patch side >= 8)
+    ("dwg", 2),          # onehot fallback path (p < 8 stages)
+    ("wholeblock", 8),
+])
+def test_block_impl_matches_xla_gathered(impl, p):
     rng = np.random.default_rng(1)
     N, C = 2, 16
-    grid, p, K = 4, 2, 6
+    grid, K = 4, 6
     h = grid * p
     mask = np.ones((N, grid * grid), np.float32)
     for i in range(N):
@@ -57,7 +61,7 @@ def test_block_impl_matches_xla_gathered(impl):
                                  for i in range(N)]).astype(np.int32))
     xg = jnp.asarray(rng.normal(size=(N, K, p * p, C)).astype(np.float32))
     ctx_x = (("onehot", P), grid, h)
-    ctx_i = (("ids", kept), grid, h)
+    ctx_i = (("ids", (kept, P)), grid, h)
 
     bx = Block(C, sparse=True, block_impl="xla")
     bi = Block(C, sparse=True, block_impl=impl)
