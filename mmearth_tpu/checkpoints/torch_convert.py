@@ -325,20 +325,45 @@ def torch_fcmae_to_flax(
 
 def flax_fcmae_to_torch(tree: Mapping, depths, out_modalities, decoder_depth: int = 1,
                         use_orig_stem: bool = False, dims=None,
-                        num_classes: int = 1000) -> dict[str, np.ndarray]:
-    """FCMAE params -> reference-compatible dense `.pth` state dict.  The
-    shared decoder stack is written under *every* modality name, exactly as
-    torch's state_dict does for the shared Block instances (fcmae.py:119-137).
+                        num_classes: int = 1000,
+                        target: str = "finetune") -> dict[str, np.ndarray]:
+    """FCMAE params -> reference-compatible `.pth` state dict.  The shared
+    decoder stack is written under *every* modality name, exactly as torch's
+    state_dict does for the shared Block instances (fcmae.py:119-137).
 
-    The reference *dense* FCMAE registers an unused classifier norm/head on
-    its encoder (convnextv2.py:148-153); our pretrain tree never materializes
-    them, so when ``dims`` is given we emit fresh defaults (LN = 1/0, head =
-    0) to make the export strict-loadable into the reference model."""
+    ``target`` selects which reference consumer the export matches:
+
+    * ``"finetune"`` (default) — the pretrain-checkpoint interchange format
+      main_finetune consumes through ``helpers.remap_checkpoint_keys``
+      (helpers.py:668-707).  That remap unconditionally ``unsqueeze(0).
+      unsqueeze(1)``-s every ``grn`` parameter (helpers.py:701-707), because
+      the reference's sparse pretrain stores MinkowskiGRN affines as
+      ``(1, C)`` (sparse_norm_layers.py:20-22); encoder grn is therefore
+      emitted ``(1, C)`` here so the remap lands on the dense model's
+      ``(1, 1, 1, C)``.  A dense-shaped grn would remap to 6-D and be
+      *silently dropped* by the non-strict load — measured as exactly that
+      failure in the round-5 seg round-trip smoke before this format
+      existed.  No classifier norm/head keys are fabricated (the reference's
+      sparse encoder registers none, convnextv2_sparse.py:71-).  Decoder
+      grn stays dense ``(1, 1, 1, C)``: the reference decoder is built from
+      *dense* Blocks (fcmae.py:119-137), and finetune deletes decoder keys
+      before the remap (helpers.py:886-890).
+    * ``"fcmae"`` — strict-loads into the reference's *dense* FCMAE (its
+      encoder registers an unused classifier norm/head,
+      convnextv2.py:148-153): dense grn shapes everywhere, plus fresh
+      norm/head defaults (LN = 1/0, head = 0) when ``dims`` is given.
+    """
+    if target not in ("finetune", "fcmae"):
+        raise ValueError(f"target must be 'finetune' or 'fcmae', got {target!r}")
     np_tree = _to_numpy(dict(tree))
     sd: dict[str, np.ndarray] = {}
     for k, v in flax_encoder_to_torch(np_tree["encoder"], depths, use_orig_stem).items():
         sd[f"encoder.{k}"] = v
-    if dims is not None and "encoder.norm.weight" not in sd:
+    if target == "finetune":
+        for k in list(sd):
+            if ".grn." in k:
+                sd[k] = sd[k].reshape(1, -1)
+    if target == "fcmae" and dims is not None and "encoder.norm.weight" not in sd:
         sd["encoder.norm.weight"] = np.ones(dims[-1], dtype=np.float32)
         sd["encoder.norm.bias"] = np.zeros(dims[-1], dtype=np.float32)
         sd["encoder.head.weight"] = np.zeros((num_classes, dims[-1]), dtype=np.float32)

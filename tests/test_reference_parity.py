@@ -405,7 +405,8 @@ def test_flax_to_torch_loads_into_reference_fcmae(ref):
         {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}, jbatch
     )["params"]
 
-    sd = tc.flax_fcmae_to_torch(params, DEPTHS, M.OUT_MODALITIES, dims=DIMS)
+    sd = tc.flax_fcmae_to_torch(params, DEPTHS, M.OUT_MODALITIES, dims=DIMS,
+                                target="fcmae")
     tmodel = _build_ref_fcmae(ref, seed=42)
     missing, unexpected = tmodel.load_state_dict(
         {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, strict=True
@@ -453,6 +454,63 @@ def test_remap_golden_vs_reference_helpers():
     assert set(got) == set(want), set(got) ^ set(want)
     for k in want:
         np.testing.assert_allclose(got[k], want[k].numpy(), err_msg=k, atol=0)
+
+
+def test_finetune_export_survives_reference_remap(ref):
+    """The default (target='finetune') FCMAE export must come out of the
+    reference's OWN remap_checkpoint_keys with the dense classifier's exact
+    shapes — in particular grn affines: the remap unconditionally
+    unsqueezes every 'grn' key twice (helpers.py:701-707; the reference's
+    sparse pretrain stores them (1, C), sparse_norm_layers.py:20-22).  A
+    dense-shaped (1,1,1,C) grn export remaps to 6-D and is then *silently
+    dropped* by the finetune load — the trained GRN affine would be
+    replaced by the fresh zero init.  Round-5 regression test."""
+    helpers = load_reference_helpers()
+    jmodel = _jax_fcmae()
+    batch = _make_batch(seed=3)
+    jbatch = {}
+    for k, v in batch.items():
+        a = v.numpy()
+        jbatch[k] = jnp.asarray(a.transpose(0, 2, 3, 1) if a.ndim == 4 else a)
+    jbatch = fc.zero_nan_inputs(jbatch)
+    params = jmodel.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}, jbatch
+    )["params"]
+
+    sd = tc.flax_fcmae_to_torch(params, DEPTHS, M.OUT_MODALITIES, dims=DIMS)
+    # the reference finetune path: drop decoder keys, then remap
+    # (helpers.py:886-890, 936)
+    kept = {k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in sd.items()
+            if not any(t in k for t in ("decoder", "mask_token", "proj",
+                                        "pred", "loss_fn"))}
+    remapped = helpers.remap_checkpoint_keys(kept)
+
+    torch.manual_seed(1)
+    tmodel = ref.convnextv2.ConvNeXtV2(
+        patch_size=PATCH, img_size=IMG, in_chans=12, num_classes=9,
+        depths=list(DEPTHS), dims=list(DIMS), drop_path_rate=0.0)
+    ref_shapes = {k: tuple(v.shape) for k, v in tmodel.state_dict().items()}
+    # every exported-and-remapped key the classifier owns must match shape
+    # exactly (the silent-drop failure mode is a shape mismatch)
+    for k, v in remapped.items():
+        if k.startswith("layer_norm_tmp."):
+            continue  # pretrain-only module; an ignored unexpected key at
+            # finetune load (the reference's own checkpoints carry it too)
+        assert k in ref_shapes, k
+        assert tuple(v.shape) == ref_shapes[k], (
+            f"{k}: exported {tuple(v.shape)} vs model {ref_shapes[k]}")
+    # grn affines specifically: trained values survive the remap
+    g = remapped["stages.0.0.grn.gamma"]
+    assert tuple(g.shape) == (1, 1, 1, DIMS[0] * 4)
+    np.testing.assert_allclose(
+        g.numpy().reshape(-1),
+        np.asarray(params["encoder"]["stages_0_0"]["grn"]["gamma"]).reshape(-1),
+        atol=0)
+    # and the only keys NOT in the export are the classifier's fresh
+    # norm/head (absent from the reference's sparse checkpoints too)
+    missing = set(ref_shapes) - set(remapped)
+    assert missing == {"norm.weight", "norm.bias", "head.weight", "head.bias"}, missing
 
 
 # ---------------------------------------------------------------------------

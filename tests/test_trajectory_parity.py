@@ -196,7 +196,7 @@ def _run_pretrain_trajectory(n_iters: int, rtol: float = 2e-3,
 
     sd_j = tc.flax_fcmae_to_torch(
         jax.tree_util.tree_map(np.asarray, state.params), DEPTHS,
-        M.OUT_MODALITIES, dims=DIMS,
+        M.OUT_MODALITIES, dims=DIMS, target="fcmae",
     )
     # n_updates at lr <= 1e-3: anchor tolerance at 5% of the aggregate
     # adam-normalized update magnitude.  encoder.head / encoder.norm are the
